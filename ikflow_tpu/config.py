@@ -1,0 +1,37 @@
+"""Global configuration: dtypes and cache directories.
+
+Parity with ``/root/reference/ikflow/config.py`` (DEVICE / DEFAULT_TORCH_DTYPE /
+cache tree), re-thought for JAX: there is no global device pin — placement is
+controlled by jit/sharding — and the default compute dtype is float32 with
+bfloat16 opt-in for the coupling-subnet matmuls (MXU-friendly).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+
+DEFAULT_DTYPE = jnp.float32
+
+# Cache tree (mirrors ~/.cache/ikflow/{datasets,models,training_logs}, see
+# /root/reference/ikflow/config.py:12-18).
+CACHE_DIR = os.environ.get(
+    "IKFLOW_TPU_CACHE_DIR", os.path.join(os.path.expanduser("~"), ".cache", "ikflow_tpu")
+)
+DATASET_DIR = os.path.join(CACHE_DIR, "datasets")
+MODELS_DIR = os.path.join(CACHE_DIR, "models")
+TRAINING_LOGS_DIR = os.path.join(CACHE_DIR, "training_logs")
+
+# Dataset tag constants (parity: /root/reference/ikflow/config.py:21-23).
+DATASET_TAG_NON_SELF_COLLIDING = "non-self-colliding"
+ALL_DATASET_TAGS = [DATASET_TAG_NON_SELF_COLLIDING]
+
+# Scaling bound for padding dims ahead of the sigmoid head
+# (parity: SIGMOID_SCALING_ABS_MAX, /root/reference/ikflow/config.py:31).
+SIGMOID_SCALING_ABS_MAX = 1.0
+
+
+def ensure_cache_dirs() -> None:
+    for d in (CACHE_DIR, DATASET_DIR, MODELS_DIR, TRAINING_LOGS_DIR):
+        os.makedirs(d, exist_ok=True)
