@@ -1,0 +1,72 @@
+"""Solution grading: pose errors, joint-limit violations, self-collisions.
+
+TPU-native replacement for ``/root/reference/ikflow/evaluation_utils.py`` —
+same result contract as ``evaluate_solutions`` (``evaluation_utils.py:130-147``)
+but fully batched on device: the reference's per-config Python self-collision
+loop (``evaluation_utils.py:115-126``, CPU-bound) becomes a vectorized capsule
+check.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from ikflow_tpu.math.quaternion import geodesic_distance
+
+
+class SolutionEvaluation(NamedTuple):
+    """Parity with SOLUTION_EVALUATION_RESULT_TYPE (``evaluation_utils.py:10-19``)."""
+
+    pos_errors: jnp.ndarray  # (n,) L2 position error [m]
+    rot_errors: jnp.ndarray  # (n,) geodesic rotation error [rad]
+    joint_limits_exceeded: jnp.ndarray  # (n,) bool
+    self_colliding: jnp.ndarray  # (n,) bool
+
+
+def pose_errors(poses_1: jnp.ndarray, poses_2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """L2 + angular error between pose batches (``evaluation_utils.py:37-51``)."""
+    l2 = jnp.linalg.norm(poses_1[..., :3] - poses_2[..., :3], axis=-1)
+    ang = geodesic_distance(poses_1[..., 3:], poses_2[..., 3:])
+    return l2, ang
+
+
+def pose_errors_cm_deg(poses_1: jnp.ndarray, poses_2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Errors in cm / degrees (``evaluation_utils.py:54-62``)."""
+    l2, ang = pose_errors(poses_1, poses_2)
+    return 100.0 * l2, jnp.rad2deg(ang)
+
+
+def solution_pose_errors(robot, solutions: jnp.ndarray, target_poses: jnp.ndarray):
+    """FK-grade solutions against target pose(s) (``evaluation_utils.py:65-97``).
+
+    target_poses may be a single (7,) pose (broadcast over solutions) or (n, 7).
+    """
+    if target_poses.ndim == 1:
+        target_poses = jnp.broadcast_to(target_poses, (solutions.shape[0], 7))
+    realized = robot.forward_kinematics(solutions)
+    return pose_errors(realized, target_poses)
+
+
+def calculate_joint_limits_exceeded(configs: jnp.ndarray, joint_limits) -> jnp.ndarray:
+    """Per-config bool: any joint outside its limits (``evaluation_utils.py:100-112``)."""
+    low = jnp.asarray([lim[0] for lim in joint_limits], dtype=configs.dtype)
+    high = jnp.asarray([lim[1] for lim in joint_limits], dtype=configs.dtype)
+    return jnp.any((configs < low) | (configs > high), axis=-1)
+
+
+def calculate_self_collisions(robot, configs: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized self-collision flags (``evaluation_utils.py:115-126``, sans loop)."""
+    return robot.config_self_collides(configs)
+
+
+def evaluate_solutions(robot, target_poses: jnp.ndarray, solutions: jnp.ndarray) -> SolutionEvaluation:
+    """Full grading bundle (``evaluation_utils.py:130-147``)."""
+    l2, ang = solution_pose_errors(robot, solutions, target_poses)
+    return SolutionEvaluation(
+        pos_errors=l2,
+        rot_errors=ang,
+        joint_limits_exceeded=robot.joint_limits_exceeded(solutions),
+        self_colliding=robot.config_self_collides(solutions),
+    )

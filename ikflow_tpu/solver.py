@@ -1,0 +1,295 @@
+"""IKFlowSolver: the inference engine (approximate + exact IK).
+
+TPU-native replacement for ``/root/reference/ikflow/ikflow_solver.py``. Same
+public surface — ``generate_ik_solutions`` (``ikflow_solver.py:254``),
+``generate_exact_ik_solutions`` (``:345``), ``draw_latent`` (``:16``) — with
+JAX-idiomatic RNG (explicit keys, or a seeded internal key stream) and a
+fundamentally different execution plan for exact IK:
+
+Reference (GPU/CPU hybrid, dynamic shapes):
+    per retry tier: flow-inverse on GPU -> move to CPU when n < 750 -> python
+    loop of LM steps -> boolean-index shrink of the still-invalid batch ->
+    host-side scatter of first-valid solutions (``ikflow_solver.py:191-233``).
+
+Here (single fused TPU program, fixed shapes):
+    every retry tier is traced into one jit program: tile poses x repeat,
+    flow-inverse, ``lax.scan`` of LM steps with a first-valid-wins capture
+    mask, reduction over repeat tiles (earliest tile wins, matching the
+    reference's scatter order at ``ikflow_solver.py:217-225``), and a
+    ``lax.cond`` that skips later tiers entirely once everything converged.
+    No host round-trips, no dynamic shapes, no CPU crossover point.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ikflow_tpu.evaluation import SolutionEvaluation, evaluate_solutions
+from ikflow_tpu.flow import FlowHyperParams, GlowFlow, build_flow
+from ikflow_tpu.lm import refine
+from ikflow_tpu.robots.chain import KinematicChain
+
+
+def draw_latent(
+    key: jax.Array,
+    latent_distribution: str,
+    latent_scale: float,
+    shape: Tuple[int, int],
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Latent noise draw (parity: ``draw_latent``, ``ikflow_solver.py:16-29``)."""
+    assert latent_distribution in ("gaussian", "uniform"), latent_distribution
+    assert latent_scale > 0
+    assert len(shape) == 2
+    if latent_distribution == "gaussian":
+        return latent_scale * jax.random.normal(key, shape, dtype)
+    return 2.0 * latent_scale * jax.random.uniform(key, shape, dtype) - latent_scale
+
+
+class IKFlowSolver:
+    """Owns the flow definition + parameters + robot; runs inference.
+
+    Unlike the reference there is no global RNG: pass ``key=`` explicitly for
+    reproducible draws, or rely on the internal key stream seeded by ``seed``.
+    """
+
+    def __init__(
+        self,
+        hyper_parameters: FlowHyperParams,
+        robot: KinematicChain,
+        params=None,
+        seed: int = 0,
+    ):
+        assert isinstance(hyper_parameters, FlowHyperParams), type(hyper_parameters)
+        assert isinstance(robot, KinematicChain), type(robot)
+        if hyper_parameters.softflow_enabled:
+            assert not hyper_parameters.sigmoid_on_output, (
+                "sigmoid_on_output and softflow are incompatible, disable one or the other"
+            )  # parity: ikflow_solver.py:46-49
+        self._robot = robot
+        self._hp = hyper_parameters
+        self.dim_cond = 8 if hyper_parameters.softflow_enabled else 7  # ikflow_solver.py:51-53
+        self._flow: GlowFlow = build_flow(hyper_parameters, robot, self.dim_cond)
+        self._network_width = hyper_parameters.dim_latent_space
+        self.ndof = robot.ndof
+
+        self._weights_loaded = params is not None
+        if params is None:
+            params = self._flow.init(jax.random.PRNGKey(seed))
+        self.params = params
+        self._key = jax.random.PRNGKey(seed ^ 0x5EED)
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+    @property
+    def robot(self) -> KinematicChain:
+        return self._robot
+
+    @property
+    def flow(self) -> GlowFlow:
+        return self._flow
+
+    @property
+    def hyper_parameters(self) -> FlowHyperParams:
+        return self._hp
+
+    @property
+    def network_width(self) -> int:
+        return self._network_width
+
+    @property
+    def conditional_size(self) -> int:
+        """7: [x,y,z,qw,qx,qy,qz]; 8 with the softflow scale column (0 at
+        inference). Parity: ``ikflow_solver.py:78-83``."""
+        return self.dim_cond
+
+    def set_params(self, params) -> None:
+        """Install trained parameters (the reference's ``load_state_dict``)."""
+        self.params = params
+        self._weights_loaded = True
+
+    # ------------------------------------------------------------------
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _conditional(self, y_tiled: jnp.ndarray) -> jnp.ndarray:
+        n = y_tiled.shape[0]
+        if self.dim_cond == 7:
+            return y_tiled
+        pad = jnp.zeros((n, self.dim_cond - 7), dtype=y_tiled.dtype)
+        return jnp.concatenate([y_tiled, pad], axis=1)
+
+    # ------------------------------------------------------------------
+    def generate_ik_solutions(
+        self,
+        y: jnp.ndarray,
+        n: Optional[int] = None,
+        latent: Optional[jnp.ndarray] = None,
+        latent_distribution: str = "gaussian",
+        latent_scale: float = 1.0,
+        clamp_to_joint_limits: bool = True,
+        return_detailed: bool = False,
+        allow_uninitialized: bool = False,
+        key: Optional[jax.Array] = None,
+    ):
+        """Sample IK solutions for pose(s) ``y`` (parity:
+        ``ikflow_solver.py:254-343``; same argument names and defaults).
+
+        y: (7,) with n>0, or (n, 7). Returns (n, ndof) solutions, or a
+        ``SolutionEvaluation``-extended tuple when ``return_detailed``:
+        (solutions, pos_errors, rot_errors, joint_limits_exceeded,
+        self_colliding) — the reference's trailing wall-time float is dropped
+        (time a jitted program from outside it).
+        """
+        if not allow_uninitialized:
+            assert self._weights_loaded, (
+                "Model weights have not been loaded. Pass params / set_params(...) "
+                "or use allow_uninitialized=True"
+            )
+        y = jnp.asarray(y)
+        if y.size == 7 and y.ndim <= 1:
+            assert isinstance(n, int) and n > 0, "single-pose mode needs n > 0"
+            y_batch = jnp.broadcast_to(y.reshape(7), (n, 7))
+        else:
+            assert y.ndim == 2 and y.shape[1] == 7, f"y must be (7,) or (n, 7), got {y.shape}"
+            assert n is None or n == y.shape[0]
+            y_batch = y
+            n = y.shape[0]
+
+        if latent is None:
+            latent = draw_latent(
+                key if key is not None else self._next_key(),
+                latent_distribution,
+                latent_scale,
+                (n, self._network_width),
+            )
+        else:
+            assert latent.shape == (n, self._network_width), latent.shape
+
+        fn = self._cached_generate(n, bool(clamp_to_joint_limits), bool(return_detailed))
+        out = fn(self.params, y_batch, latent)
+        if return_detailed:
+            solutions, ev = out
+            return (solutions, ev.pos_errors, ev.rot_errors, ev.joint_limits_exceeded, ev.self_colliding)
+        return out
+
+    def _cached_generate(self, n: int, clamp: bool, detailed: bool):
+        cache_key = ("gen", n, clamp, detailed)
+        fn = self._jit_cache.get(cache_key)
+        if fn is None:
+
+            def impl(params, y_batch, latent):
+                cond = self._conditional(y_batch)
+                q, _ = self._flow.inverse(params, latent, cond)
+                solutions = q[:, : self.ndof]
+                if clamp:
+                    solutions = self._robot.clamp_to_joint_limits(solutions)
+                if detailed:
+                    return solutions, evaluate_solutions(self._robot, y_batch, solutions)
+                return solutions
+
+            fn = jax.jit(impl)
+            self._jit_cache[cache_key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def generate_exact_ik_solutions(
+        self,
+        target_poses: jnp.ndarray,
+        repeat_counts: Tuple[int, ...] = (1, 3, 10),
+        pos_error_threshold: float = 1e-3,
+        rot_error_threshold: float = 0.1,
+        n_opt_steps_max: int = 3,
+        lambd: float = 1e-4,
+        latent_scale: float = 1.0,
+        key: Optional[jax.Array] = None,
+        allow_uninitialized: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Exact IK: flow seeds + LM refinement + widening retry tiers.
+
+        Parity: ``generate_exact_ik_solutions`` (``ikflow_solver.py:345-411``;
+        defaults match — (1,3,10) tiers, 1 mm / 0.1 rad, 3 LM steps — note the
+        reference's *benchmark* tolerance is 0.01 rad, passed explicitly).
+        Returns (solutions (n, ndof), valids (n,) bool).
+        """
+        if not allow_uninitialized:
+            assert self._weights_loaded, "Model weights have not been loaded."
+        target_poses = jnp.asarray(target_poses)
+        assert target_poses.ndim == 2 and target_poses.shape[1] == 7, target_poses.shape
+        n = target_poses.shape[0]
+        repeat_counts = tuple(int(r) for r in repeat_counts)
+
+        cache_key = (
+            "exact", n, repeat_counts, float(pos_error_threshold), float(rot_error_threshold),
+            int(n_opt_steps_max), float(lambd), float(latent_scale),
+        )
+        fn = self._jit_cache.get(cache_key)
+        if fn is None:
+            fn = jax.jit(
+                lambda params, poses, k: self._exact_impl(
+                    params, poses, k, repeat_counts, pos_error_threshold,
+                    rot_error_threshold, n_opt_steps_max, lambd, latent_scale,
+                )
+            )
+            self._jit_cache[cache_key] = fn
+        return fn(self.params, target_poses, key if key is not None else self._next_key())
+
+    def _exact_impl(
+        self, params, poses, key, repeat_counts, pos_tol, rot_tol, n_steps, lambd, latent_scale
+    ):
+        n = poses.shape[0]
+        ndof = self.ndof
+        sols = jnp.zeros((n, ndof), dtype=poses.dtype)
+        valids = jnp.zeros((n,), dtype=bool)
+
+        for tier_idx, r in enumerate(repeat_counts):
+            key, sub, rk = jax.random.split(key, 3)
+
+            def run_tier(sub=sub, rk=rk, r=r):
+                # Tile tile-major: index t*n + i covers pose i (reference's
+                # ``conditional.repeat((repeat_count, 1))``, ikflow_solver.py:185).
+                poses_tiled = jnp.tile(poses, (r, 1))
+                latent = latent_scale * jax.random.normal(sub, (r * n, self._network_width), poses.dtype)
+                cond = self._conditional(poses_tiled)
+                q0, _ = self._flow.inverse(params, latent, cond)
+                q0 = self._robot.clamp_to_joint_limits(q0[:, :ndof])
+                cap_q, cap_valid, _ = refine(
+                    self._robot, q0, poses_tiled, n_steps, pos_tol, rot_tol, lambd,
+                    restart_key=rk,
+                )
+                cap_q = cap_q.reshape(r, n, ndof)
+                cap_valid = cap_valid.reshape(r, n)
+                first = jnp.argmax(cap_valid, axis=0)  # earliest valid tile per pose
+                tier_sols = jnp.take_along_axis(cap_q, first[None, :, None], axis=0)[0]
+                tier_valid = jnp.any(cap_valid, axis=0)
+                return tier_sols, tier_valid
+
+            if tier_idx == 0:
+                tier_sols, tier_valid = run_tier()
+            else:
+                # Skip the whole tier when already fully converged — the TPU
+                # analog of the reference's early return (ikflow_solver.py:383-385).
+                tier_sols, tier_valid = jax.lax.cond(
+                    jnp.all(valids),
+                    lambda: (sols, valids),
+                    run_tier,
+                )
+            take = jnp.logical_not(valids) & tier_valid
+            sols = jnp.where(take[:, None], tier_sols, sols)
+            valids = valids | tier_valid
+        return sols, valids
+
+    # ------------------------------------------------------------------
+    def evaluate(self, target_poses: jnp.ndarray, solutions: jnp.ndarray) -> SolutionEvaluation:
+        return evaluate_solutions(self._robot, target_poses, solutions)
+
+    def __repr__(self):
+        return (
+            f"IKFlowSolver(robot={self._robot.name!r}, width={self._network_width}, "
+            f"blocks={self._hp.nb_nodes}, weights_loaded={self._weights_loaded})"
+        )
