@@ -1,0 +1,110 @@
+"""Headline benchmark: exact-IK solutions/s/chip at 1 mm / 0.572 deg tolerance.
+
+Protocol (matches the reference's headline benchmark,
+``/root/reference/scripts/benchmark_generate_exact_solutions.py:18-19,145-151``
+and the in-source CUDA timing at ``ikflow_solver.py:150-162``):
+n=1000 target poses, retry tiers (1, 3, 10), <=3 LM steps per tier,
+tolerance 1 mm position / 0.01 rad rotation. Baseline: the reference's
+recorded CUDA total of 0.236 s for 1000 poses -> 4237 solutions/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra context fields (valid_fraction, p50 latency, compile time) are included
+in the same object.
+
+Weights: uses the trained deploy artifact for the flagship Panda model when
+present in the models cache (or $IKFLOW_TPU_BENCH_WEIGHTS); otherwise runs the
+same computation with random weights (identical FLOPs/timing; validity is then
+seed-starved and reported as-is).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_SOLS_PER_S = 1000.0 / 0.236  # reference CUDA, ikflow_solver.py:150-162
+N_POSES = int(os.environ.get("IKFLOW_TPU_BENCH_N", 1000))
+REPEAT_COUNTS = (1, 3, 10)
+N_OPT_STEPS = 3
+POS_TOL = 1e-3
+ROT_TOL = 0.01
+TIMED_REPS = 5
+
+
+def main() -> int:
+    from ikflow_tpu.config import MODELS_DIR
+    from ikflow_tpu.flow import FlowHyperParams
+    from ikflow_tpu.robots import get_robot
+    from ikflow_tpu.solver import IKFlowSolver
+
+    hp = FlowHyperParams()
+    hp.dim_latent_space = 7  # flagship panda__full architecture
+    robot = get_robot("panda")
+
+    weights_path = os.environ.get(
+        "IKFLOW_TPU_BENCH_WEIGHTS", os.path.join(MODELS_DIR, "panda__full.npz")
+    )
+    solver = IKFlowSolver(hp, robot, seed=0)
+    weights_loaded = False
+    if os.path.exists(weights_path):
+        from ikflow_tpu.training.checkpoints import load_deploy
+
+        params, _ = load_deploy(weights_path, solver.params)
+        solver.set_params(params)
+        weights_loaded = True
+
+    key = jax.random.PRNGKey(0)
+    kq, ks = jax.random.split(key)
+    targets = robot.forward_kinematics(
+        robot.sample_joint_angles(kq, N_POSES, joint_limit_eps=0.02)
+    )
+
+    def solve(k):
+        sols, valids = solver.generate_exact_ik_solutions(
+            targets,
+            repeat_counts=REPEAT_COUNTS,
+            pos_error_threshold=POS_TOL,
+            rot_error_threshold=ROT_TOL,
+            n_opt_steps_max=N_OPT_STEPS,
+            key=k,
+            allow_uninitialized=True,
+        )
+        sols.block_until_ready()
+        return valids
+
+    t0 = time.time()
+    valids = solve(ks)
+    compile_s = time.time() - t0
+
+    times = []
+    for i in range(TIMED_REPS):
+        t0 = time.time()
+        solve(jax.random.fold_in(ks, i))
+        times.append(time.time() - t0)
+    times.sort()
+    median_s = times[len(times) // 2]
+    sols_per_s = N_POSES / median_s
+
+    result = {
+        "metric": "exact_ik_solutions_per_s_per_chip",
+        "value": round(sols_per_s, 1),
+        "unit": "solutions/s/chip (n=1000, tiers (1,3,10), 3 LM steps, 1mm/0.572deg)",
+        "vs_baseline": round(sols_per_s / BASELINE_SOLS_PER_S, 3),
+        "valid_fraction": round(float(np.asarray(valids).mean()), 4),
+        "p50_latency_ms_per_batch": round(1000 * median_s, 2),
+        "compile_s": round(compile_s, 1),
+        "weights": "trained" if weights_loaded else "random(untrained)",
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

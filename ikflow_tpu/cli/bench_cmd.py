@@ -1,0 +1,100 @@
+"""``ikflow-tpu benchmark`` — runtime curves for approximate and exact IK.
+
+Parity: ``/root/reference/scripts/benchmark_generate_exact_solutions.py``
+(batch sizes 1..1000 x repeat-count tiers, 1 mm / 0.01 rad —
+``benchmark_...py:18-19,145-151``) and ``benchmark_runtime.py`` (solve-method
+comparison over batch sizes). Emits a JSON table on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+EXACT_POS_TOL = 1e-3  # benchmark_generate_exact_solutions.py:18
+EXACT_ROT_TOL = 0.01  # benchmark_generate_exact_solutions.py:19
+
+
+def add_parser(sub):
+    p = sub.add_parser("benchmark", help="runtime curves (approx + exact IK)")
+    p.add_argument("--model_name", type=str, default=None)
+    p.add_argument("--robot_name", type=str, default="panda")
+    p.add_argument("--batch_sizes", type=int, nargs="*", default=[1, 10, 100, 500, 1000, 5000])
+    p.add_argument("--mode", choices=["approx", "exact", "both"], default="both")
+    p.add_argument("--k", type=int, default=5, help="timed repeats per size")
+    p.add_argument("--n_opt_steps_max", type=int, default=3)
+    p.add_argument("--repeat_counts", type=int, nargs="*", default=[1, 3, 10])
+    p.add_argument("--uninitialized", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(func=run)
+    return p
+
+
+def _timed(fn, k):
+    fn()  # compile
+    ts = []
+    for _ in range(k):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]  # median
+
+
+def run(args: argparse.Namespace) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ikflow_tpu.flow import FlowHyperParams
+    from ikflow_tpu.robots import get_robot
+    from ikflow_tpu.solver import IKFlowSolver
+
+    if args.model_name:
+        from ikflow_tpu.registry import get_ik_solver
+
+        solver, _ = get_ik_solver(args.model_name, allow_uninitialized=args.uninitialized)
+    else:
+        solver = IKFlowSolver(FlowHyperParams(), get_robot(args.robot_name))
+        args.uninitialized = True
+    robot = solver.robot
+
+    key = jax.random.PRNGKey(args.seed)
+    rows = []
+    for n in args.batch_sizes:
+        kp, ks = jax.random.split(jax.random.fold_in(key, n))
+        poses = robot.forward_kinematics(robot.sample_joint_angles(kp, n, joint_limit_eps=0.02))
+
+        if args.mode in ("approx", "both"):
+            def go_approx():
+                out = solver.generate_ik_solutions(poses, key=ks, allow_uninitialized=args.uninitialized)
+                out.block_until_ready()
+
+            t = _timed(go_approx, args.k)
+            rows.append({"mode": "approx", "batch": n, "seconds": t, "sols_per_s": n / t})
+
+        if args.mode in ("exact", "both"):
+            def go_exact():
+                sols, valids = solver.generate_exact_ik_solutions(
+                    poses,
+                    repeat_counts=tuple(args.repeat_counts),
+                    pos_error_threshold=EXACT_POS_TOL,
+                    rot_error_threshold=EXACT_ROT_TOL,
+                    n_opt_steps_max=args.n_opt_steps_max,
+                    key=ks,
+                    allow_uninitialized=args.uninitialized,
+                )
+                sols.block_until_ready()
+                return valids
+
+            valids = go_exact()
+            t = _timed(lambda: go_exact(), args.k)
+            rows.append({
+                "mode": "exact", "batch": n, "seconds": t, "sols_per_s": n / t,
+                "valid_fraction": float(np.asarray(valids).mean()),
+            })
+
+    for r in rows:
+        print(json.dumps(r))
+    return 0

@@ -1,0 +1,97 @@
+"""``ikflow-tpu evaluate`` — accuracy + runtime evaluation of a model.
+
+Parity: ``/root/reference/scripts/evaluate.py`` — 500-pose testset x
+``--n_samples_for_errors`` solutions/pose, gaussian latent scale 0.75
+(``evaluate.py:34-35``), reporting mean pos err (mm) / rot err (deg) /
+% joint-limits-exceeded / % self-colliding plus runtime for 100-solution
+batches; ``--do_refinement`` switches to the exact-IK path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+DEFAULT_LATENT_SCALE = 0.75  # evaluate.py:34-35
+DEFAULT_LATENT_DISTRIBUTION = "gaussian"
+
+
+def add_parser(sub):
+    p = sub.add_parser("evaluate", help="evaluate a trained model")
+    p.add_argument("--model_name", type=str, default=None)
+    p.add_argument("--robot_name", type=str, default=None, help="with --uninitialized: evaluate random weights")
+    p.add_argument("--testset_size", type=int, default=500)
+    p.add_argument("--n_samples_for_errors", type=int, default=50)
+    p.add_argument("--n_runtime_samples", type=int, default=100)
+    p.add_argument("--runtime_k", type=int, default=5)
+    p.add_argument("--do_refinement", action="store_true")
+    p.add_argument("--uninitialized", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(func=run)
+    return p
+
+
+def run(args: argparse.Namespace) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ikflow_tpu.flow import FlowHyperParams
+    from ikflow_tpu.robots import get_robot
+    from ikflow_tpu.solver import IKFlowSolver
+
+    if args.model_name:
+        from ikflow_tpu.registry import get_ik_solver
+
+        solver, hp = get_ik_solver(args.model_name, allow_uninitialized=args.uninitialized)
+    else:
+        assert args.robot_name, "need --model_name or --robot_name"
+        solver = IKFlowSolver(FlowHyperParams(), get_robot(args.robot_name))
+        args.uninitialized = True
+
+    robot = solver.robot
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    testset = robot.forward_kinematics(
+        robot.sample_joint_angles(k1, args.testset_size, joint_limit_eps=0.02)
+    )
+
+    # Accuracy: n_samples_for_errors solutions per pose, graded in one program.
+    m = args.n_samples_for_errors
+    poses_t = jnp.repeat(testset, m, axis=0)
+    if args.do_refinement:
+        sols, valids = solver.generate_exact_ik_solutions(
+            poses_t, key=k2, allow_uninitialized=args.uninitialized
+        )
+        print(f"exact-IK valid fraction: {float(np.asarray(valids).mean()):.3f}")
+    else:
+        sols = solver.generate_ik_solutions(
+            poses_t,
+            latent_distribution=DEFAULT_LATENT_DISTRIBUTION,
+            latent_scale=DEFAULT_LATENT_SCALE,
+            key=k2,
+            allow_uninitialized=args.uninitialized,
+        )
+    ev = solver.evaluate(poses_t, sols)
+    print("--- Accuracy (ErrorStats parity: evaluate.py:42-90) ---")
+    print(f"mean_l2_error_mm:         {1000 * float(jnp.mean(ev.pos_errors)):8.3f}")
+    print(f"mean_angular_error_deg:   {float(jnp.rad2deg(jnp.mean(ev.rot_errors))):8.3f}")
+    print(f"pct_joint_limits_exceeded:{100 * float(jnp.mean(ev.joint_limits_exceeded.astype(jnp.float32))):8.2f}")
+    print(f"pct_self_colliding:       {100 * float(jnp.mean(ev.self_colliding.astype(jnp.float32))):8.2f}")
+
+    # Runtime: k repeats of 100-solution single-pose batches (evaluate.py:93-108).
+    target = testset[0]
+    times = []
+    for i in range(args.runtime_k + 1):  # first call compiles
+        t0 = time.time()
+        out = solver.generate_ik_solutions(
+            target, n=args.n_runtime_samples, key=jax.random.fold_in(k3, i),
+            allow_uninitialized=args.uninitialized,
+        )
+        out.block_until_ready()
+        times.append(time.time() - t0)
+    times = times[1:]
+    print("--- Runtime ---")
+    print(f"mean_runtime_ms_for_{args.n_runtime_samples}_sols: {1000 * sum(times) / len(times):.3f} "
+          f"(first-call compile excluded)")
+    return 0

@@ -1,0 +1,31 @@
+"""``ikflow-tpu`` CLI: build-dataset / train / evaluate / solve / benchmark.
+
+Mirrors the reference's script surface (``/root/reference/scripts/*.py``) as
+subcommands of one entry point; each subcommand keeps the reference's flag
+names where they exist.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="ikflow-tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    from ikflow_tpu.cli import bench_cmd, build_dataset_cmd, evaluate_cmd, solve_cmd, train_cmd
+
+    build_dataset_cmd.add_parser(sub)
+    train_cmd.add_parser(sub)
+    evaluate_cmd.add_parser(sub)
+    solve_cmd.add_parser(sub)
+    bench_cmd.add_parser(sub)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,142 @@
+"""``ikflow-tpu train`` — train a conditional flow for a robot.
+
+Parity: ``/root/reference/scripts/train.py`` (same flag names/defaults:
+optimizer adamw, lr 1e-4, batch 512, gamma 0.9795, eval/log cadences in steps).
+Additions: ``--smoke`` for a tiny end-to-end run, ``--resume`` from orbax
+checkpoints (replacing ``train_from_checkpoint.py``'s wandb-artifact pull),
+``--export`` deploy artifact on completion, ``--data_parallel`` to shard the
+batch over all visible devices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def add_parser(sub):
+    p = sub.add_parser("train", help="train an IKFlow model")
+    p.add_argument("--robot_name", type=str, required=True)
+    # Model params (train.py:111-155 / IkflowModelParameters defaults).
+    p.add_argument("--coupling_layer", type=str, default="glow")
+    p.add_argument("--nb_nodes", type=int, default=12)
+    p.add_argument("--dim_latent_space", type=int, default=9)
+    p.add_argument("--coeff_fn_config", type=int, default=3)
+    p.add_argument("--coeff_fn_internal_size", type=int, default=1024)
+    p.add_argument("--rnvp_clamp", type=float, default=2.5)
+    p.add_argument("--softflow_noise_scale", type=float, default=0.001)
+    p.add_argument("--disable_softflow", action="store_true")
+    p.add_argument("--sigmoid_on_output", action="store_true")
+    # Training params (train.py:24-56).
+    p.add_argument("--optimizer", type=str, default="adamw", choices=["adamw", "adam", "adadelta", "ranger"])
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--gamma", type=float, default=0.9795)
+    p.add_argument("--step_lr_every", type=int, default=int(2.5e6 / 64))
+    p.add_argument("--gradient_clip_val", type=float, default=1.0)
+    p.add_argument("--n_steps", type=int, default=250_000)
+    p.add_argument("--eval_every", type=int, default=20_000)
+    p.add_argument("--log_every", type=int, default=1_000)
+    p.add_argument("--checkpoint_every", type=int, default=50_000)
+    p.add_argument("--val_set_size", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dataset_tags", nargs="*", default=["non-self-colliding"])
+    # Ops.
+    p.add_argument("--smoke", action="store_true", help="tiny model + tiny run (CI)")
+    p.add_argument("--resume", type=str, default=None, help="checkpoint dir to resume from")
+    p.add_argument("--export", type=str, default=None, help="deploy .npz path to write at the end")
+    p.add_argument("--run_dir", type=str, default=None)
+    p.add_argument("--data_parallel", action="store_true", help="shard batch over all devices")
+    p.add_argument("--bf16_hidden", action="store_true", help="bfloat16 hidden matmuls (MXU)")
+    p.set_defaults(func=run)
+    return p
+
+
+def run(args: argparse.Namespace) -> int:
+    import jax
+
+    from ikflow_tpu.config import TRAINING_LOGS_DIR, ensure_cache_dirs
+    from ikflow_tpu.flow import FlowHyperParams, build_flow
+    from ikflow_tpu.robots import get_robot
+    from ikflow_tpu.training import TrainConfig, Trainer, build_dataset, load_dataset
+    from ikflow_tpu.training.checkpoints import export_deploy, restore_checkpoint
+
+    hp = FlowHyperParams()
+    hp.coupling_layer = args.coupling_layer
+    hp.nb_nodes = args.nb_nodes
+    hp.dim_latent_space = args.dim_latent_space
+    hp.coeff_fn_config = args.coeff_fn_config
+    hp.coeff_fn_internal_size = args.coeff_fn_internal_size
+    hp.rnvp_clamp = args.rnvp_clamp
+    hp.softflow_noise_scale = args.softflow_noise_scale
+    hp.softflow_enabled = not args.disable_softflow
+    hp.sigmoid_on_output = args.sigmoid_on_output
+    hp.bf16_hidden = args.bf16_hidden
+
+    cfg = TrainConfig(
+        optimizer=args.optimizer,
+        learning_rate=args.learning_rate,
+        batch_size=args.batch_size,
+        gamma=args.gamma,
+        step_lr_every=args.step_lr_every,
+        gradient_clip=args.gradient_clip_val,
+        n_steps=args.n_steps,
+        eval_every=args.eval_every,
+        log_every=args.log_every,
+        checkpoint_every=args.checkpoint_every,
+        val_set_size=args.val_set_size,
+        seed=args.seed,
+    )
+
+    robot = get_robot(args.robot_name)
+
+    if args.smoke:
+        hp.nb_nodes, hp.coeff_fn_config, hp.coeff_fn_internal_size = 3, 2, 256
+        hp.dim_latent_space = max(robot.ndof, 8)
+        cfg.n_steps, cfg.eval_every, cfg.log_every, cfg.checkpoint_every = 200, 100, 20, 0
+        cfg.batch_size, cfg.val_set_size = 256, 16
+        dataset = build_dataset(robot, training_set_size=8192, test_set_size=512, chunk_size=8192)
+    else:
+        assert hp.dim_latent_space >= robot.ndof, (
+            f"dim_latent_space ({hp.dim_latent_space}) must be >= ndof ({robot.ndof})"
+        )
+        try:
+            dataset = load_dataset(args.robot_name, tuple(args.dataset_tags))
+        except FileNotFoundError:
+            print("dataset not found; generating 2.5M samples on-device (use build-dataset for custom sizes)")
+            dataset = build_dataset(robot)
+
+    ensure_cache_dirs()
+    run_dir = args.run_dir or os.path.join(
+        TRAINING_LOGS_DIR, f"{args.robot_name}__{time.strftime('%Y%m%d_%H%M%S')}"
+    )
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+
+    flow = build_flow(hp, robot)
+    params = flow.init(jax.random.PRNGKey(cfg.seed))
+    start_step = 0
+    if args.resume:
+        restored, start_step = restore_checkpoint(args.resume, template={"params": params})
+        params = restored["params"]
+        print(f"resumed from {args.resume} at step {start_step}")
+
+    mesh = None
+    if args.data_parallel:
+        from ikflow_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"data-parallel over {mesh.devices.size} devices")
+
+    trainer = Trainer(flow, robot, cfg, mesh=mesh, log_dir=run_dir)
+    t0 = time.time()
+    params, metrics = trainer.fit(params, dataset, checkpoint_dir=ckpt_dir, start_step=start_step)
+    dt = time.time() - t0
+    steps_done = cfg.n_steps - start_step
+    print(f"trained {steps_done} steps in {dt:.1f}s ({steps_done / max(dt, 1e-9):.1f} steps/s); "
+          f"final tr/loss={metrics.get('tr/loss', float('nan')):.4f}; run dir: {run_dir}")
+
+    if args.export:
+        path = export_deploy(args.export, params, hp, robot.name, global_step=cfg.n_steps)
+        print(f"exported deploy artifact -> {path}")
+    return 0

@@ -1,0 +1,21 @@
+from ikflow_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    initialize_multihost,
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "batch_sharding",
+    "initialize_multihost",
+    "make_mesh",
+    "pad_to_multiple",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]

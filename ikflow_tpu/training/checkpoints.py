@@ -1,0 +1,119 @@
+"""Checkpointing + deploy export.
+
+Training checkpoints use Orbax (step-tagged, keep-latest-k — parity with the
+reference's Lightning ``ModelCheckpoint`` cadence, ``/root/reference/scripts/
+train.py:232-241``). The *deploy* format — what the model registry serves — is
+a single compressed ``.npz`` of flattened parameters plus a JSON hyperparameter
+header, replacing the reference's pickled torch ``state_dict``
+(``download_model_from_wandb_checkpoint.py:13-28`` / ``ikflow_solver.py:413``)
+with something architecture-checkable and framework-neutral.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ikflow_tpu.flow.params import FlowHyperParams
+
+
+# ---------------------------------------------------------------------------
+# Orbax training checkpoints.
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(directory: str, step: int, params, opt_state=None, keep: int = 3) -> str:
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    with ocp.CheckpointManager(
+        directory, options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True)
+    ) as mgr:
+        payload = {"params": params}
+        if opt_state is not None:
+            payload["opt_state"] = opt_state
+        mgr.save(step, args=ocp.args.StandardSave(payload))
+    return os.path.join(directory, str(step))
+
+
+def latest_checkpoint_step(directory: str) -> Optional[int]:
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    if not os.path.isdir(directory):
+        return None
+    with ocp.CheckpointManager(directory) as mgr:
+        return mgr.latest_step()
+
+
+def restore_checkpoint(directory: str, step: Optional[int] = None, template=None):
+    """Restore {params[, opt_state]} from an Orbax checkpoint dir."""
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    with ocp.CheckpointManager(directory) as mgr:
+        step = mgr.latest_step() if step is None else step
+        assert step is not None, f"no checkpoints in {directory}"
+        if template is not None:
+            return mgr.restore(step, args=ocp.args.StandardRestore(template)), step
+        return mgr.restore(step), step
+
+
+# ---------------------------------------------------------------------------
+# Deploy format (.npz + hyperparameter JSON header).
+# ---------------------------------------------------------------------------
+
+
+def _flatten_params(params) -> Dict[str, np.ndarray]:
+    flat = {}
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in leaves_with_paths:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def export_deploy(
+    path: str,
+    params,
+    hyper_parameters: FlowHyperParams,
+    robot_name: str,
+    global_step: Optional[int] = None,
+) -> str:
+    """Write the deploy artifact: params + hparams + robot in one .npz."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    header = {
+        "format_version": 1,
+        "robot_name": robot_name,
+        "global_step": global_step,
+        "hyper_parameters": hyper_parameters.to_dict(),
+    }
+    flat = _flatten_params(params)
+    np.savez_compressed(path, __header__=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8), **flat)
+    return path
+
+
+def load_deploy(path: str, params_template) -> Tuple[Any, Dict]:
+    """Load a deploy artifact back into the given params pytree structure.
+
+    The template (from ``flow.init``) supplies the tree structure; shapes are
+    validated leaf-by-leaf so an architecture mismatch fails loudly (the
+    reference's pickle load fails with inscrutable key errors instead).
+    """
+    z = np.load(path)
+    header = json.loads(bytes(z["__header__"]).decode())
+    flat = {k: z[k] for k in z.files if k != "__header__"}
+    leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(params_template)
+    new_leaves = []
+    for path_elems, leaf in leaves_with_paths:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path_elems)
+        assert key in flat, f"missing parameter {key!r} in {path}"
+        arr = flat[key]
+        assert arr.shape == leaf.shape, f"shape mismatch for {key}: {arr.shape} vs {leaf.shape}"
+        new_leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), header

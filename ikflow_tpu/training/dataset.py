@@ -1,0 +1,167 @@
+"""On-device dataset generation + storage, replacing the reference's host
+pipeline (``/root/reference/scripts/build_dataset.py``).
+
+The reference samples 25M configs on the host through jrl/klampt; here
+sampling + FK + self-collision filtering run sharded on TPU in fixed-size
+chunks, and only the final arrays land on disk. Artifacts and naming follow
+the reference conventions (``/root/reference/ikflow/utils.py:27-45``):
+a directory ``{robot}[__tag0={tag}...]`` holding train/test splits
+(``samples_tr/endpoints_tr/samples_te/endpoints_te``) plus ``info.txt``
+with tensor stats — stored as one compressed ``.npz`` instead of four
+torch pickles.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ikflow_tpu.config import DATASET_DIR, DATASET_TAG_NON_SELF_COLLIDING, ensure_cache_dirs
+from ikflow_tpu.robots.chain import KinematicChain
+
+# Reference margin: 0.25 deg (build_dataset.py:186).
+DEFAULT_JOINT_LIMIT_EPS = 0.004363
+# Reference test-set size (build_dataset.py:20).
+DEFAULT_TEST_SET_SIZE = 15_000
+
+
+@dataclass
+class IkDataset:
+    samples_tr: np.ndarray  # (n_tr, ndof) joint configs
+    endpoints_tr: np.ndarray  # (n_tr, 7) poses
+    samples_te: np.ndarray
+    endpoints_te: np.ndarray
+    robot_name: str
+    tags: Tuple[str, ...] = ()
+
+    @property
+    def n_train(self) -> int:
+        return self.samples_tr.shape[0]
+
+
+def dataset_directory(robot_name: str, tags: Sequence[str] = ()) -> str:
+    """Directory naming parity with ``get_dataset_directory`` + tag suffixes
+    (``utils.py:27-45``)."""
+    suffix = "".join(f"__tag{i}={t}" for i, t in enumerate(sorted(tags)))
+    return os.path.join(DATASET_DIR, robot_name + suffix)
+
+
+def _generate_split(
+    robot: KinematicChain,
+    key: jax.Array,
+    n: int,
+    joint_limit_eps: float,
+    only_non_self_colliding: bool,
+    chunk_size: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fixed-shape chunked generation. Each chunk samples, FKs, filters on
+    device; host only concatenates accepted rows until n are collected."""
+    qs, ps = [], []
+    remaining = n
+    while remaining > 0:
+        key, sub = jax.random.split(key)
+        q = robot.sample_joint_angles(sub, chunk_size, joint_limit_eps)
+        if only_non_self_colliding:
+            colliding = robot.config_self_collides(q)
+            keep = np.asarray(jnp.logical_not(colliding))
+            q_np = np.asarray(q)[keep]
+        else:
+            q_np = np.asarray(q)
+        pose_np = np.asarray(robot.forward_kinematics(jnp.asarray(q_np)))
+        take = min(remaining, q_np.shape[0])
+        qs.append(q_np[:take])
+        ps.append(pose_np[:take])
+        remaining -= take
+    return np.concatenate(qs, axis=0), np.concatenate(ps, axis=0)
+
+
+def build_dataset(
+    robot: KinematicChain,
+    training_set_size: int = 2_500_000,
+    test_set_size: int = DEFAULT_TEST_SET_SIZE,
+    only_non_self_colliding: bool = True,
+    joint_limit_eps: float = DEFAULT_JOINT_LIMIT_EPS,
+    seed: int = 0,
+    chunk_size: int = 262_144,
+) -> IkDataset:
+    """Generate an IK dataset on-device (``save_dataset_to_disk`` parity,
+    ``build_dataset.py:69-140``)."""
+    key = jax.random.PRNGKey(seed)
+    k_tr, k_te = jax.random.split(key)
+    samples_tr, endpoints_tr = _generate_split(
+        robot, k_tr, training_set_size, joint_limit_eps, only_non_self_colliding, chunk_size
+    )
+    samples_te, endpoints_te = _generate_split(
+        robot, k_te, test_set_size, joint_limit_eps, only_non_self_colliding, chunk_size
+    )
+    # Sanity checks mirroring build_dataset.py:112-122.
+    for arr in (samples_tr, samples_te):
+        stds = arr.std(axis=0)
+        assert (stds > 0.001).all(), f"degenerate joint column: stds={stds}"
+        low = np.asarray(robot.limits_low()) + joint_limit_eps
+        high = np.asarray(robot.limits_high()) - joint_limit_eps
+        assert (arr >= low - 1e-5).all() and (arr <= high + 1e-5).all()
+    tags = (DATASET_TAG_NON_SELF_COLLIDING,) if only_non_self_colliding else ()
+    return IkDataset(
+        samples_tr.astype(np.float32),
+        endpoints_tr.astype(np.float32),
+        samples_te.astype(np.float32),
+        endpoints_te.astype(np.float32),
+        robot.name,
+        tags,
+    )
+
+
+def save_dataset(ds: IkDataset, directory: Optional[str] = None) -> str:
+    ensure_cache_dirs()
+    directory = directory or dataset_directory(ds.robot_name, ds.tags)
+    os.makedirs(directory, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(directory, "dataset.npz"),
+        samples_tr=ds.samples_tr,
+        endpoints_tr=ds.endpoints_tr,
+        samples_te=ds.samples_te,
+        endpoints_te=ds.endpoints_te,
+    )
+    # info.txt parity (build_dataset.py:124-140).
+    with open(os.path.join(directory, "info.txt"), "w") as f:
+        f.write(f"Dataset info\n  robot: {ds.robot_name}\n  tags: {list(ds.tags)}\n")
+        for name, arr in (
+            ("samples_tr", ds.samples_tr),
+            ("endpoints_tr", ds.endpoints_tr),
+            ("samples_te", ds.samples_te),
+            ("endpoints_te", ds.endpoints_te),
+        ):
+            f.write(f"  {name}: shape={arr.shape} mean={arr.mean(0).round(4)} std={arr.std(0).round(4)}\n")
+    return directory
+
+
+def load_dataset(robot_name: str, tags: Sequence[str] = (DATASET_TAG_NON_SELF_COLLIDING,)) -> IkDataset:
+    directory = dataset_directory(robot_name, tags)
+    path = os.path.join(directory, "dataset.npz")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no dataset at {path}; run `ikflow-tpu build-dataset --robot_name {robot_name}` first"
+        )
+    z = np.load(path)
+    return IkDataset(
+        z["samples_tr"], z["endpoints_tr"], z["samples_te"], z["endpoints_te"], robot_name, tuple(tags)
+    )
+
+
+def iterate_batches(ds: IkDataset, batch_size: int, key: jax.Array):
+    """Infinite shuffled batch stream (train split). Host-side permutation per
+    epoch-equivalent, device transfer per batch; drop-last like the reference
+    DataLoader (``lt_data.py:73-81``)."""
+    n = ds.n_train
+    rng = np.random.default_rng(np.asarray(jax.random.key_data(key))[-1])
+    while True:
+        perm = rng.permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = perm[i : i + batch_size]
+            yield ds.samples_tr[idx], ds.endpoints_tr[idx]

@@ -1,0 +1,99 @@
+"""Optimizer factory: adamw / adam / adadelta / ranger, with per-step stepped
+exponential LR decay and gradient value-clipping.
+
+Parity targets:
+- optimizer choice + defaults: ``/root/reference/scripts/train.py:24-56``
+  (default adamw, lr 1e-4, gamma 0.9795, step_lr_every ~39062, clip 1.0);
+- per-STEP StepLR semantics: ``lt_model.py:92-120`` (the reference insists the
+  scheduler steps per optimizer step, not per epoch);
+- grad clipping by VALUE: ``torch.nn.utils.clip_grad_value_``
+  (``lt_model.py:220-221``);
+- "ranger" = RAdam + Lookahead(k=6, alpha=0.5) with betas (0.95, 0.999),
+  eps 1e-4 — the vendored RangerVA the reference uses
+  (``/root/reference/ikflow/thirdparty/ranger/ranger913A.py``,
+  ``lt_model.py:76-82``). Implemented here as optax radam wrapped in a
+  first-party lookahead transformation (flat state, no param wrapper).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import optax
+
+
+def make_lr_schedule(learning_rate: float, gamma: float, step_lr_every: int) -> optax.Schedule:
+    """Stepped exponential decay applied per optimizer step (StepLR parity)."""
+    return optax.exponential_decay(
+        init_value=learning_rate,
+        transition_steps=step_lr_every,
+        decay_rate=gamma,
+        staircase=True,
+    )
+
+
+class LookaheadState(NamedTuple):
+    inner: optax.OptState
+    slow_params: optax.Params
+    count: jax.Array
+
+
+def lookahead(inner: optax.GradientTransformation, sync_period: int = 6, slow_step: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead wrapper (Zhang et al. 2019) over any inner optimizer.
+
+    Keeps a slow copy of the parameters; every ``sync_period`` steps the slow
+    weights move ``slow_step`` of the way to the fast weights and the fast
+    weights are reset onto them. The update returned already includes the
+    synchronization delta, so the caller applies updates normally (no special
+    parameter wrapper, unlike ``optax.lookahead``).
+    """
+
+    def init_fn(params):
+        return LookaheadState(inner=inner.init(params), slow_params=jax.tree_util.tree_map(lambda p: p, params), count=jax.numpy.zeros([], jax.numpy.int32))
+
+    def update_fn(updates, state, params):
+        assert params is not None, "lookahead requires params"
+        import jax.numpy as jnp
+
+        inner_updates, inner_state = inner.update(updates, state.inner, params)
+        count = state.count + 1
+        sync = (count % sync_period) == 0
+
+        fast = jax.tree_util.tree_map(lambda p, u: p + u, params, inner_updates)
+
+        def do_sync(fast_p, slow_p):
+            new_slow = jax.tree_util.tree_map(lambda s, f: s + slow_step * (f - s), slow_p, fast_p)
+            return new_slow, new_slow
+
+        def no_sync(fast_p, slow_p):
+            return fast_p, slow_p
+
+        new_fast, new_slow = jax.lax.cond(sync, do_sync, no_sync, fast, state.slow_params)
+        final_updates = jax.tree_util.tree_map(lambda nf, p: nf - p, new_fast, params)
+        return final_updates, LookaheadState(inner=inner_state, slow_params=new_slow, count=count)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(
+    name: str = "adamw",
+    learning_rate: float = 1e-4,
+    gamma: float = 0.9795,
+    step_lr_every: int = 39062,
+    gradient_clip: Optional[float] = 1.0,
+) -> optax.GradientTransformation:
+    schedule = make_lr_schedule(learning_rate, gamma, step_lr_every)
+    if name == "adamw":
+        core = optax.adamw(schedule)
+    elif name == "adam":
+        core = optax.adam(schedule)
+    elif name == "adadelta":
+        core = optax.adadelta(schedule)
+    elif name == "ranger":
+        core = lookahead(optax.radam(schedule, b1=0.95, b2=0.999, eps=1e-4), sync_period=6, slow_step=0.5)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}; use adamw|adam|adadelta|ranger")
+    chain = [optax.clip(gradient_clip)] if gradient_clip is not None else []
+    chain.append(core)
+    return optax.chain(*chain)

@@ -1,0 +1,247 @@
+"""Training loop: jitted update step, step-based eval/log/checkpoint cadence,
+JSONL metrics, optional data-parallel sharding over a device mesh.
+
+Replaces the reference's Lightning stack (``IkfLitModel``/``IkfLitDataset``/
+``Trainer``, ``/root/reference/ikflow/training/lt_model.py`` and
+``scripts/train.py``) with a flat functional loop:
+
+- one jitted ``(params, opt_state, key, batch) -> (params, opt_state, metrics)``
+  step (loss + grad + clip + optimizer + schedule fused into a single XLA
+  program; the reference pays Python/Lightning dispatch per batch);
+- step-based cadences mirroring ``train.py:52-56`` (eval_every / log_every /
+  checkpoint_every, no epochs — the reference's own complaint at
+  ``lt_model.py:92-108``);
+- metric taxonomy parity: ``tr/*`` (loss, output stats, grad ave/abs/max, lr,
+  throughput), ``val/*`` and ``val_clamped/*`` (``lt_model.py:166-173,279-326``)
+  written to JSONL (wandb in the reference; this build logs JSONL always and
+  wandb is a deliberate non-dependency);
+- validation grades ALL val poses in one batched program (the reference loops
+  pose-by-pose, ``lt_model.py:233-270``);
+- data-parallel: pass a mesh and the batch is sharded over ``("data",)``,
+  params replicated; grads all-reduce over ICI automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ikflow_tpu.flow.model import GlowFlow
+from ikflow_tpu.parallel import mesh as mesh_lib
+from ikflow_tpu.robots.chain import KinematicChain
+from ikflow_tpu.training.dataset import IkDataset, iterate_batches
+from ikflow_tpu.training.loss import make_loss_fn
+from ikflow_tpu.training.optimizers import make_optimizer
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Defaults mirror ``/root/reference/scripts/train.py:24-56``."""
+
+    optimizer: str = "adamw"
+    learning_rate: float = 1e-4
+    batch_size: int = 512
+    gamma: float = 0.9795
+    step_lr_every: int = 39062  # int(2.5e6 / 64)
+    gradient_clip: float = 1.0
+    n_steps: int = 20_000
+    eval_every: int = 20_000
+    log_every: int = 1_000
+    checkpoint_every: int = 250_000
+    val_set_size: int = 128
+    samples_per_pose: int = 100
+    seed: int = 0
+
+
+def grad_stats(grads) -> Dict[str, jnp.ndarray]:
+    """ave / abs-ave / max grad stats (parity: ``utils.grad_stats``,
+    ``/root/reference/ikflow/utils.py:185-197``)."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    total = sum(jnp.sum(g) for g in leaves)
+    total_abs = sum(jnp.sum(jnp.abs(g)) for g in leaves)
+    count = sum(g.size for g in leaves)
+    gmax = jnp.max(jnp.stack([jnp.max(jnp.abs(g)) for g in leaves]))
+    return {
+        "tr/grad_ave": total / count,
+        "tr/grad_abs_ave": total_abs / count,
+        "tr/grad_max": gmax,
+    }
+
+
+class Trainer:
+    def __init__(
+        self,
+        flow: GlowFlow,
+        robot: KinematicChain,
+        config: TrainConfig = TrainConfig(),
+        mesh=None,
+        log_dir: Optional[str] = None,
+        metric_hook: Optional[Callable[[int, Dict], None]] = None,
+    ):
+        self.flow = flow
+        self.robot = robot
+        self.config = config
+        self.mesh = mesh
+        self.log_dir = log_dir
+        self.metric_hook = metric_hook
+        self._metrics_file = None
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self._metrics_file = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+
+        self.loss_fn = make_loss_fn(flow, robot.ndof)
+        self.optimizer = make_optimizer(
+            config.optimizer, config.learning_rate, config.gamma, config.step_lr_every, config.gradient_clip
+        )
+        self.lr_schedule = optax.exponential_decay(
+            config.learning_rate, config.step_lr_every, config.gamma, staircase=True
+        )
+        self._step_fn = self._build_step()
+        self._val_fn = None
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        loss_fn, optimizer = self.loss_fn, self.optimizer
+
+        def step(params, opt_state, key, q, poses):
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, key, q, poses)
+            gstats = grad_stats(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = dict(metrics)
+            metrics.update(gstats)
+            metrics["tr/loss"] = loss
+            return params, opt_state, metrics
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_s = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
+            rep = NamedSharding(self.mesh, P())
+            return jax.jit(
+                step,
+                in_shardings=(rep, rep, rep, batch_s, batch_s),
+                out_shardings=(rep, rep, rep),
+            )
+        return jax.jit(step)
+
+    def _build_val(self, n_poses: int, m: int):
+        """Batched validation: for each val pose draw m latents, run the flow
+        inverse, grade clamped + unclamped (parity: lt_model.py:233-332)."""
+        flow, robot = self.flow, self.robot
+        ndof = robot.ndof
+
+        def val(params, key, poses):  # poses (n_poses, 7)
+            latents = jax.random.normal(key, (n_poses * m, flow.D))
+            poses_t = jnp.repeat(poses, m, axis=0)
+            cond = poses_t
+            if flow.dim_cond > 7:
+                cond = jnp.concatenate(
+                    [poses_t, jnp.zeros((poses_t.shape[0], flow.dim_cond - 7), poses_t.dtype)], axis=1
+                )
+            q, _ = flow.inverse(params, latents, cond)
+            sols = q[:, :ndof]
+            out = {}
+            for tag, s in (("val", sols), ("val_clamped", robot.clamp_to_joint_limits(sols))):
+                realized = robot.forward_kinematics(s)
+                l2 = jnp.linalg.norm(realized[:, :3] - poses_t[:, :3], axis=1)
+                from ikflow_tpu.math.quaternion import geodesic_distance
+
+                ang = geodesic_distance(realized[:, 3:], poses_t[:, 3:])
+                out[f"{tag}/l2_error_mm"] = 1000.0 * jnp.mean(l2)
+                out[f"{tag}/l2_error_mm_max"] = 1000.0 * jnp.max(l2)
+                out[f"{tag}/angular_error_deg"] = jnp.rad2deg(jnp.mean(ang))
+                out[f"{tag}/angular_error_deg_max"] = jnp.rad2deg(jnp.max(ang))
+                out[f"{tag}/pct_joint_limits_exceeded"] = 100.0 * jnp.mean(
+                    robot.joint_limits_exceeded(s).astype(jnp.float32)
+                )
+                out[f"{tag}/pct_self_colliding"] = 100.0 * jnp.mean(
+                    robot.config_self_collides(s).astype(jnp.float32)
+                )
+            return out
+
+        return jax.jit(val)
+
+    # ------------------------------------------------------------------
+    def _log(self, step: int, metrics: Dict):
+        payload = {k: (float(v) if hasattr(v, "__float__") or isinstance(v, (int, float)) else v) for k, v in metrics.items()}
+        payload["step"] = step
+        if self._metrics_file:
+            self._metrics_file.write(json.dumps(payload) + "\n")
+            self._metrics_file.flush()
+        if self.metric_hook:
+            self.metric_hook(step, payload)
+
+    def validate(self, params, dataset: IkDataset, key, step: int) -> Dict:
+        n = min(self.config.val_set_size, dataset.samples_te.shape[0])
+        if self._val_fn is None:
+            self._val_fn = self._build_val(n, self.config.samples_per_pose)
+        poses = jnp.asarray(dataset.endpoints_te[:n])
+        out = self._val_fn(params, key, poses)
+        out = {k: float(v) for k, v in out.items()}
+        self._log(step, out)
+        return out
+
+    def fit(
+        self,
+        params,
+        dataset: IkDataset,
+        checkpoint_dir: Optional[str] = None,
+        start_step: int = 0,
+        opt_state=None,
+    ):
+        """Run the training loop; returns (params, final metrics dict)."""
+        cfg = self.config
+        key = jax.random.PRNGKey(cfg.seed)
+        opt_state = self.optimizer.init(params) if opt_state is None else opt_state
+        if self.mesh is not None:
+            params = mesh_lib.replicate(self.mesh, params)
+            opt_state = mesh_lib.replicate(self.mesh, opt_state)
+
+        batches = iterate_batches(dataset, cfg.batch_size, jax.random.PRNGKey(cfg.seed + 1))
+        last_metrics: Dict = {}
+        t_window = time.time()
+        window_steps = 0
+        for step in range(start_step, cfg.n_steps):
+            q_np, poses_np = next(batches)
+            key, sub = jax.random.split(key)
+            q, poses = jnp.asarray(q_np), jnp.asarray(poses_np)
+            if self.mesh is not None:
+                q, poses = mesh_lib.shard_batch(self.mesh, q, poses)
+            params, opt_state, metrics = self._step_fn(params, opt_state, sub, q, poses)
+            window_steps += 1
+
+            if step % cfg.log_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                if not np.isfinite(metrics["tr/loss"]):
+                    raise ValueError(f"loss is not finite at step {step}: {metrics['tr/loss']}")
+                dt = time.time() - t_window
+                metrics["tr/learning_rate"] = float(self.lr_schedule(step))
+                metrics["tr/batches_p_sec"] = window_steps / max(dt, 1e-9)
+                self._log(step, metrics)
+                last_metrics = metrics
+                t_window = time.time()
+                window_steps = 0
+
+            if cfg.eval_every and step > 0 and step % cfg.eval_every == 0:
+                key, vk = jax.random.split(key)
+                self.validate(params, dataset, vk, step)
+
+            if checkpoint_dir and cfg.checkpoint_every and step > 0 and step % cfg.checkpoint_every == 0:
+                from ikflow_tpu.training.checkpoints import save_checkpoint
+
+                save_checkpoint(checkpoint_dir, step, params, opt_state)
+
+        if checkpoint_dir:
+            from ikflow_tpu.training.checkpoints import save_checkpoint
+
+            save_checkpoint(checkpoint_dir, cfg.n_steps, params, opt_state)
+        return params, last_metrics

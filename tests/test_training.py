@@ -1,0 +1,197 @@
+"""Training subsystem tests: loss semantics, optimizer plumbing, dataset
+generation, short-run loss decrease, checkpoint round-trips."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ikflow_tpu.flow import build_flow, tiny_model_params
+from ikflow_tpu.robots import get_robot
+from ikflow_tpu.training import (
+    IkDataset,
+    TrainConfig,
+    Trainer,
+    build_dataset,
+    load_dataset,
+    make_loss_fn,
+    make_optimizer,
+    save_dataset,
+)
+from ikflow_tpu.training.loss import get_softflow_noise
+
+
+def _setup(D=9, n=256):
+    hp = tiny_model_params()
+    hp.dim_latent_space = D
+    robot = get_robot("panda")
+    flow = build_flow(hp, robot)
+    params = flow.init(jax.random.PRNGKey(0))
+    q = robot.sample_joint_angles(jax.random.PRNGKey(1), n, joint_limit_eps=0.01)
+    poses = robot.forward_kinematics(q)
+    return hp, robot, flow, params, q, poses
+
+
+def test_softflow_noise_semantics():
+    x = jnp.zeros((1000, 9))
+    c, v = get_softflow_noise(jax.random.PRNGKey(0), x, 0.01)
+    assert c.shape == (1000, 1) and v.shape == x.shape
+    cn = np.asarray(c)
+    assert (cn >= 0).all() and (cn <= 1).all()
+    # noise magnitude scales with c.
+    ratio = np.abs(np.asarray(v)).mean(axis=1)
+    hi = ratio[cn[:, 0] > 0.8].mean()
+    lo = ratio[cn[:, 0] < 0.2].mean()
+    assert hi > 3 * lo
+
+
+def test_loss_finite_and_differentiable():
+    hp, robot, flow, params, q, poses = _setup()
+    loss_fn = make_loss_fn(flow, robot.ndof)
+    loss, metrics = loss_fn(params, jax.random.PRNGKey(2), q, poses)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: loss_fn(p, jax.random.PRNGKey(2), q, poses)[0])(params)
+    norms = [float(jnp.abs(x).max()) for x in jax.tree_util.tree_leaves(g)]
+    assert all(np.isfinite(n) for n in norms) and max(norms) > 0
+
+
+def test_optimizers_step():
+    hp, robot, flow, params, q, poses = _setup()
+    loss_fn = make_loss_fn(flow, robot.ndof)
+    for name in ("adamw", "adam", "adadelta", "ranger"):
+        opt = make_optimizer(name, learning_rate=1e-3, step_lr_every=10, gamma=0.5)
+        state = opt.init(params)
+        g = jax.grad(lambda p: loss_fn(p, jax.random.PRNGKey(3), q, poses)[0])(params)
+        updates, state = opt.update(g, state, params)
+        import optax
+
+        new_params = optax.apply_updates(params, updates)
+        delta = max(
+            float(jnp.abs(a - b).max())
+            for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(new_params))
+        )
+        assert delta > 0, f"{name} produced a no-op update"
+
+
+def test_lr_schedule_steps_per_optimizer_step():
+    from ikflow_tpu.training.optimizers import make_lr_schedule
+
+    sched = make_lr_schedule(1e-4, 0.5, 100)
+    np.testing.assert_allclose(float(sched(0)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(99)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(100)), 5e-5, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(250)), 2.5e-5, rtol=1e-6)
+
+
+def test_build_save_load_dataset():
+    robot = get_robot("panda")
+    ds = build_dataset(robot, training_set_size=2000, test_set_size=500, chunk_size=4096)
+    assert ds.samples_tr.shape == (2000, 7) and ds.endpoints_tr.shape == (2000, 7)
+    assert ds.samples_te.shape == (500, 7)
+    # non-self-colliding filter applied
+    rate = float(np.asarray(robot.config_self_collides(jnp.asarray(ds.samples_tr))).mean())
+    assert rate == 0.0
+    # FK consistency: endpoints match FK of samples
+    fk = np.asarray(robot.forward_kinematics(jnp.asarray(ds.samples_tr[:64])))
+    np.testing.assert_allclose(fk, ds.endpoints_tr[:64], atol=1e-5)
+
+    with tempfile.TemporaryDirectory() as d:
+        out = save_dataset(ds, directory=os.path.join(d, "panda_ds"))
+        assert os.path.exists(os.path.join(out, "dataset.npz"))
+        assert os.path.exists(os.path.join(out, "info.txt"))
+
+
+def test_short_training_run_loss_decreases():
+    hp, robot, flow, params, q, poses = _setup()
+    ds = build_dataset(robot, training_set_size=4096, test_set_size=256, chunk_size=4096)
+    cfg = TrainConfig(n_steps=60, batch_size=256, log_every=10, eval_every=0, learning_rate=2e-4)
+    with tempfile.TemporaryDirectory() as d:
+        trainer = Trainer(flow, robot, cfg, log_dir=d)
+        loss_fn = make_loss_fn(flow, robot.ndof)
+        loss0 = float(loss_fn(params, jax.random.PRNGKey(9), q, poses)[0])
+        new_params, metrics = trainer.fit(params, ds)
+        loss1 = float(loss_fn(new_params, jax.random.PRNGKey(9), q, poses)[0])
+        assert loss1 < loss0, f"loss did not decrease: {loss0} -> {loss1}"
+        # JSONL metrics written with the reference taxonomy.
+        lines = open(os.path.join(d, "metrics.jsonl")).read().strip().splitlines()
+        assert len(lines) >= 5
+        import json
+
+        rec = json.loads(lines[-1])
+        for k in ("tr/loss", "tr/grad_max", "tr/output_std", "tr/learning_rate"):
+            assert k in rec
+
+
+def test_validation_metrics_taxonomy():
+    hp, robot, flow, params, q, poses = _setup()
+    ds = IkDataset(
+        np.asarray(q), np.asarray(poses), np.asarray(q[:32]), np.asarray(poses[:32]), "panda"
+    )
+    cfg = TrainConfig(val_set_size=8, samples_per_pose=10)
+    trainer = Trainer(flow, robot, cfg)
+    out = trainer.validate(params, ds, jax.random.PRNGKey(4), step=0)
+    for k in (
+        "val/l2_error_mm",
+        "val/angular_error_deg",
+        "val/pct_joint_limits_exceeded",
+        "val/pct_self_colliding",
+        "val_clamped/l2_error_mm",
+        "val_clamped/pct_joint_limits_exceeded",
+    ):
+        assert k in out and np.isfinite(out[k])
+    assert out["val_clamped/pct_joint_limits_exceeded"] == 0.0
+
+
+def test_checkpoint_roundtrip():
+    from ikflow_tpu.training.checkpoints import (
+        export_deploy,
+        latest_checkpoint_step,
+        load_deploy,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from ikflow_tpu.flow.params import tiny_model_params as tmp_params
+
+    hp, robot, flow, params, q, poses = _setup()
+    with tempfile.TemporaryDirectory() as d:
+        ckpt_dir = os.path.join(d, "ckpts")
+        save_checkpoint(ckpt_dir, 100, params)
+        assert latest_checkpoint_step(ckpt_dir) == 100
+        restored, step = restore_checkpoint(ckpt_dir, template={"params": params})
+        assert step == 100
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored["params"])
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # Deploy export/load round-trip.
+        deploy = os.path.join(d, "model.npz")
+        export_deploy(deploy, params, hp, "panda", global_step=100)
+        params2, header = load_deploy(deploy, params)
+        assert header["robot_name"] == "panda"
+        assert header["hyper_parameters"]["nb_nodes"] == hp.nb_nodes
+        for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_registry_listing_and_errors():
+    from ikflow_tpu.registry import get_all_model_names, get_ik_solver
+
+    names = get_all_model_names()
+    assert "panda__full__lp191_5.25m" in names
+    try:
+        get_ik_solver("nope")
+        raise RuntimeError("should have raised")
+    except ValueError as e:
+        assert "unknown model" in str(e)
+    # No weights on disk -> helpful error unless allow_uninitialized.
+    try:
+        get_ik_solver("panda__full__lp191_5.25m")
+        raise RuntimeError("should have raised")
+    except FileNotFoundError as e:
+        assert "train" in str(e).lower()
+    solver, hp = get_ik_solver("panda_lite_tpm", allow_uninitialized=True)
+    assert solver.robot.name == "panda"
+    assert hp.nb_nodes == 6 and hp.dim_latent_space == 7
