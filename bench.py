@@ -65,30 +65,51 @@ def main() -> int:
         robot.sample_joint_angles(kq, N_POSES, joint_limit_eps=0.02)
     )
 
-    def solve(k):
-        sols, valids = solver.generate_exact_ik_solutions(
-            targets,
-            repeat_counts=REPEAT_COUNTS,
-            pos_error_threshold=POS_TOL,
-            rot_error_threshold=ROT_TOL,
-            n_opt_steps_max=N_OPT_STEPS,
-            key=k,
-            allow_uninitialized=True,
+    # Timing methodology: the dev/TPU tunnel makes per-call host timing
+    # unreliable (dispatch is asynchronous and host fetches pay tunnel RTT), so
+    # K full solves are chained inside ONE jitted lax.scan with a genuine data
+    # dependency between iterations (targets perturbed by a sub-epsilon
+    # function of the previous result), and a single scalar is fetched at the
+    # end. Per-solve time = (t_total - t_rtt) / K, with t_rtt measured by a
+    # K=1 run... simpler: time K and 2K runs and use the difference, which
+    # cancels constant tunnel/dispatch overhead exactly.
+    def chained(params, poses, key0, iters):
+        def body(carry, i):
+            k, acc = carry
+            k = jax.random.fold_in(k, i)
+            poses_dep = poses + (acc * 1e-30)  # data dependency, value-neutral
+            sols, valids = solver._exact_impl(
+                params, poses_dep, k, REPEAT_COUNTS, POS_TOL, ROT_TOL, N_OPT_STEPS, 1e-4, 1.0
+            )
+            acc = jnp.sum(sols) * 1e-6
+            return (k, acc), jnp.sum(valids)
+        (_, acc), valid_counts = jax.lax.scan(
+            body, (key0, jnp.float32(0.0)), jnp.arange(iters)
         )
-        sols.block_until_ready()
-        return valids
+        return acc, valid_counts[-1]
+
+    k_small, k_large = 2, 2 + TIMED_REPS
+    run_small = jax.jit(lambda p, t, k: chained(p, t, k, k_small))
+    run_large = jax.jit(lambda p, t, k: chained(p, t, k, k_large))
 
     t0 = time.time()
-    valids = solve(ks)
+    _, valid_count = run_small(solver.params, targets, ks)
+    valid_count = int(valid_count)
     compile_s = time.time() - t0
+    float(run_large(solver.params, targets, ks)[0])  # compile large
 
-    times = []
-    for i in range(TIMED_REPS):
-        t0 = time.time()
-        solve(jax.random.fold_in(ks, i))
-        times.append(time.time() - t0)
-    times.sort()
-    median_s = times[len(times) // 2]
+    def timed(fn):
+        ts = []
+        for i in range(3):
+            t0 = time.time()
+            float(fn(solver.params, targets, jax.random.fold_in(ks, i))[0])
+            ts.append(time.time() - t0)
+        return sorted(ts)[1]
+
+    t_small = timed(run_small)
+    t_large = timed(run_large)
+    per_solve_s = max(t_large - t_small, 1e-9) / (k_large - k_small)
+    median_s = per_solve_s
     sols_per_s = N_POSES / median_s
 
     result = {
@@ -96,7 +117,7 @@ def main() -> int:
         "value": round(sols_per_s, 1),
         "unit": "solutions/s/chip (n=1000, tiers (1,3,10), 3 LM steps, 1mm/0.572deg)",
         "vs_baseline": round(sols_per_s / BASELINE_SOLS_PER_S, 3),
-        "valid_fraction": round(float(np.asarray(valids).mean()), 4),
+        "valid_fraction": round(valid_count / N_POSES, 4),
         "p50_latency_ms_per_batch": round(1000 * median_s, 2),
         "compile_s": round(compile_s, 1),
         "weights": "trained" if weights_loaded else "random(untrained)",

@@ -49,6 +49,12 @@ def add_parser(sub):
     p.add_argument("--run_dir", type=str, default=None)
     p.add_argument("--data_parallel", action="store_true", help="shard batch over all devices")
     p.add_argument("--bf16_hidden", action="store_true", help="bfloat16 hidden matmuls (MXU)")
+    p.add_argument("--on_device_data", action="store_true",
+                   help="resident dataset + scanned steps (no per-batch host transfer)")
+    p.add_argument("--steps_per_call", type=int, default=200)
+    p.add_argument("--time_budget_s", type=float, default=None,
+                   help="stop at the first window boundary past this wall-clock budget")
+    p.add_argument("--dataset_size", type=int, default=2_500_000)
     p.set_defaults(func=run)
     return p
 
@@ -104,8 +110,8 @@ def run(args: argparse.Namespace) -> int:
         try:
             dataset = load_dataset(args.robot_name, tuple(args.dataset_tags))
         except FileNotFoundError:
-            print("dataset not found; generating 2.5M samples on-device (use build-dataset for custom sizes)")
-            dataset = build_dataset(robot)
+            print(f"dataset not found; generating {args.dataset_size} samples on-device")
+            dataset = build_dataset(robot, training_set_size=args.dataset_size)
 
     ensure_cache_dirs()
     run_dir = args.run_dir or os.path.join(
@@ -130,7 +136,13 @@ def run(args: argparse.Namespace) -> int:
 
     trainer = Trainer(flow, robot, cfg, mesh=mesh, log_dir=run_dir)
     t0 = time.time()
-    params, metrics = trainer.fit(params, dataset, checkpoint_dir=ckpt_dir, start_step=start_step)
+    if args.on_device_data:
+        params, metrics = trainer.fit_on_device(
+            params, dataset, checkpoint_dir=ckpt_dir,
+            steps_per_call=args.steps_per_call, time_budget_s=args.time_budget_s,
+        )
+    else:
+        params, metrics = trainer.fit(params, dataset, checkpoint_dir=ckpt_dir, start_step=start_step)
     dt = time.time() - t0
     steps_done = cfg.n_steps - start_step
     print(f"trained {steps_done} steps in {dt:.1f}s ({steps_done / max(dt, 1e-9):.1f} steps/s); "

@@ -190,6 +190,109 @@ class Trainer:
         self._log(step, out)
         return out
 
+    def _build_scan_steps(self, n_data: int, steps_per_call: int):
+        """S fused training steps in one jitted lax.scan, with batches drawn by
+        on-device random indexing into the resident dataset.
+
+        This is the TPU-native input pipeline: the dataset lives in HBM (one
+        upload), each scan iteration gathers its batch on device, and the host
+        only sees one program launch per S steps — no per-batch host->device
+        transfers (the reference pays a DataLoader round-trip per batch:
+        ``lt_data.py:73-81``).
+        """
+        loss_fn, optimizer = self.loss_fn, self.optimizer
+        batch = self.config.batch_size
+
+        def many(params, opt_state, key, samples, endpoints):
+            def body(carry, _):
+                params, opt_state, key = carry
+                key, kb, kl = jax.random.split(key, 3)
+                idx = jax.random.randint(kb, (batch,), 0, n_data)
+                q = jnp.take(samples, idx, axis=0)
+                poses = jnp.take(endpoints, idx, axis=0)
+                (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, kl, q, poses)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, key), loss
+
+            (params, opt_state, key), losses = jax.lax.scan(
+                body, (params, opt_state, key), None, length=steps_per_call
+            )
+            return params, opt_state, key, jnp.mean(losses), losses[-1]
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_s = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
+            rep = NamedSharding(self.mesh, P())
+            return jax.jit(
+                many,
+                in_shardings=(rep, rep, rep, batch_s, batch_s),
+                out_shardings=(rep, rep, rep, rep, rep),
+            )
+        return jax.jit(many, donate_argnums=(0, 1))
+
+    def fit_on_device(
+        self,
+        params,
+        dataset: IkDataset,
+        checkpoint_dir: Optional[str] = None,
+        steps_per_call: int = 100,
+        opt_state=None,
+        time_budget_s: Optional[float] = None,
+    ):
+        """High-throughput variant of ``fit``: resident dataset + scanned steps.
+
+        Logs mean loss per S-step window; eval/checkpoint cadences are rounded
+        to multiples of ``steps_per_call``. With ``time_budget_s`` the loop
+        stops at the first window boundary past the budget.
+        """
+        cfg = self.config
+        key = jax.random.PRNGKey(cfg.seed)
+        opt_state = self.optimizer.init(params) if opt_state is None else opt_state
+        samples = jnp.asarray(dataset.samples_tr)
+        endpoints = jnp.asarray(dataset.endpoints_tr)
+        if self.mesh is not None:
+            params = mesh_lib.replicate(self.mesh, params)
+            opt_state = mesh_lib.replicate(self.mesh, opt_state)
+            samples, endpoints = mesh_lib.shard_batch(self.mesh, samples, endpoints)
+
+        many = self._build_scan_steps(dataset.n_train, steps_per_call)
+        last_metrics: Dict = {}
+        step = 0
+        t_start = time.time()
+        while step < cfg.n_steps:
+            t0 = time.time()
+            params, opt_state, key, mean_loss, last_loss = many(params, opt_state, key, samples, endpoints)
+            last_loss = float(last_loss)
+            step += steps_per_call
+            dt = time.time() - t0
+            if not np.isfinite(last_loss):
+                raise ValueError(f"loss is not finite at step {step}: {last_loss}")
+            metrics = {
+                "tr/loss": last_loss,
+                "tr/loss_window_mean": float(mean_loss),
+                "tr/learning_rate": float(self.lr_schedule(step)),
+                "tr/batches_p_sec": steps_per_call / max(dt, 1e-9),
+            }
+            if step % max(cfg.log_every, steps_per_call) < steps_per_call:
+                self._log(step, metrics)
+            last_metrics = metrics
+            if cfg.eval_every and step % max(cfg.eval_every, steps_per_call) < steps_per_call:
+                key, vk = jax.random.split(key)
+                self.validate(params, dataset, vk, step)
+            if checkpoint_dir and cfg.checkpoint_every and step % max(cfg.checkpoint_every, steps_per_call) < steps_per_call:
+                from ikflow_tpu.training.checkpoints import save_checkpoint
+
+                save_checkpoint(checkpoint_dir, step, params, opt_state)
+            if time_budget_s is not None and time.time() - t_start > time_budget_s:
+                break
+        if checkpoint_dir:
+            from ikflow_tpu.training.checkpoints import save_checkpoint
+
+            save_checkpoint(checkpoint_dir, step, params, opt_state)
+        return params, last_metrics
+
     def fit(
         self,
         params,
