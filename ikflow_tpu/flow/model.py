@@ -269,6 +269,47 @@ class GlowFlow:
         return h, logdet + ld
 
     # ------------------------------------------------------------------
+    # Pallas fused-subnet inference path (see flow/pallas_subnet.py).
+    # ------------------------------------------------------------------
+    def pad_params_for_pallas(self, params):
+        """Pre-pad all subnet weights to lane-aligned shapes (done once per
+        trained parameter set, e.g. at ``IKFlowSolver.set_params`` time)."""
+        from ikflow_tpu.flow.pallas_subnet import pad_subnet_params
+
+        return tuple(
+            {"s1": pad_subnet_params(b["s1"]), "s2": pad_subnet_params(b["s2"])} for b in params
+        )
+
+    def inverse_fused(self, padded_params, z: jnp.ndarray, cond: jnp.ndarray,
+                      tile_b: int = 512, interpret: bool = False):
+        """``inverse`` with each coupling subnet running as one fused Pallas
+        kernel (activations VMEM-resident across layers). Numerics match the
+        jnp path to f32 rounding. No logdet (inference sampling doesn't use it)
+        and no autodiff — training stays on the jnp path."""
+        from ikflow_tpu.flow.pallas_subnet import fused_mlp
+
+        assert z.ndim == 2 and z.shape[1] == self.D, z.shape
+        bf16 = self.hp.bf16_hidden
+        h = z
+        for i in reversed(range(len(padded_params))):
+            block = padded_params[i]
+            y1, y2 = h[:, : self.split1], h[:, self.split1 :]
+            a1 = fused_mlp(jnp.concatenate([y1, cond], axis=1), block["s1"],
+                           2 * self.split2, tile_b=tile_b, bf16_hidden=bf16, interpret=interpret)
+            s1 = self._clamped(a1[:, : self.split2])
+            t1 = a1[:, self.split2 :]
+            x2 = (y2 - t1) * jnp.exp(-s1)
+            a2 = fused_mlp(jnp.concatenate([x2, cond], axis=1), block["s2"],
+                           2 * self.split1, tile_b=tile_b, bf16_hidden=bf16, interpret=interpret)
+            s2 = self._clamped(a2[:, : self.split1])
+            t2 = a2[:, self.split1 :]
+            x1 = (y1 - t2) * jnp.exp(-s2)
+            h = jnp.concatenate([x1, x2], axis=1)
+            h = jnp.take(h, jnp.asarray(self._inv_perms[i]), axis=1)
+        h, _ = self._head_inverse(h)
+        return h
+
+    # ------------------------------------------------------------------
     def n_params(self, params) -> int:
         return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
 
