@@ -15,13 +15,21 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="ikflow-tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
 
-    from ikflow_tpu.cli import bench_cmd, build_dataset_cmd, evaluate_cmd, solve_cmd, train_cmd
+    from ikflow_tpu.cli import (
+        bench_cmd,
+        build_dataset_cmd,
+        evaluate_cmd,
+        solve_cmd,
+        train_cmd,
+        visualize_cmd,
+    )
 
     build_dataset_cmd.add_parser(sub)
     train_cmd.add_parser(sub)
     evaluate_cmd.add_parser(sub)
     solve_cmd.add_parser(sub)
     bench_cmd.add_parser(sub)
+    visualize_cmd.add_parser(sub)
 
     args = parser.parse_args(argv)
     return args.func(args)
