@@ -27,6 +27,10 @@ def add_parser(sub):
     p.add_argument("--repeat_counts", type=int, nargs="*", default=[1, 3, 10])
     p.add_argument("--uninitialized", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sweep_nb_nodes", type=int, nargs="*", default=None,
+                   help="runtime-vs-depth sweep (parity: scripts/evaluate_inference_speed.py)")
+    p.add_argument("--scaling", action="store_true",
+                   help="1-device vs all-devices exact-IK scaling efficiency")
     p.set_defaults(func=run)
     return p
 
@@ -51,6 +55,27 @@ def run(args: argparse.Namespace) -> int:
     from ikflow_tpu.robots import get_robot
     from ikflow_tpu.solver import IKFlowSolver
 
+    if args.sweep_nb_nodes is not None:
+        # Runtime vs coupling-stack depth, 30 reps x 100 sols
+        # (parity: evaluate_inference_speed.py:23-33,76-84).
+        robot = get_robot(args.robot_name)
+        for nb in args.sweep_nb_nodes or [4, 6, 8, 10, 12, 16]:
+            hp = FlowHyperParams()
+            hp.nb_nodes = nb
+            hp.dim_latent_space = max(robot.ndof, 8)
+            s = IKFlowSolver(hp, robot)
+            pose = robot.forward_kinematics(robot.sample_joint_angles(
+                __import__("jax").random.PRNGKey(0), 1))[0]
+
+            def go():
+                out = s.generate_ik_solutions(pose, n=100, key=__import__("jax").random.PRNGKey(1),
+                                              allow_uninitialized=True)
+                out.block_until_ready()
+
+            t = _timed(go, 30)
+            print(json.dumps({"mode": "nb_nodes_sweep", "nb_nodes": nb, "ms_per_100_sols": 1000 * t}))
+        return 0
+
     if args.model_name:
         from ikflow_tpu.registry import get_ik_solver
 
@@ -59,6 +84,19 @@ def run(args: argparse.Namespace) -> int:
         solver = IKFlowSolver(FlowHyperParams(), get_robot(args.robot_name))
         args.uninitialized = True
     robot = solver.robot
+
+    if args.scaling:
+        from ikflow_tpu.parallel.fleet import scaling_efficiency
+
+        rows = scaling_efficiency(
+            solver, n_poses=max(args.batch_sizes), key=__import__("jax").random.PRNGKey(args.seed),
+            repeat_counts=tuple(args.repeat_counts), n_opt_steps_max=args.n_opt_steps_max,
+            pos_error_threshold=EXACT_POS_TOL, rot_error_threshold=EXACT_ROT_TOL,
+            allow_uninitialized=args.uninitialized,
+        )
+        for r in rows:
+            print(json.dumps(r))
+        return 0
 
     key = jax.random.PRNGKey(args.seed)
     rows = []

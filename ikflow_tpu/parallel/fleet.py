@@ -1,0 +1,100 @@
+"""Fleet-scale exact-IK: shard target poses across the mesh.
+
+The SURVEY.md §2.5 "exact-IK fleet solve" design: target poses x repeat tiles
+are sharded over the ``("data",)`` axis; every chip runs the same fixed-shape
+tier program on its shard (LM iterations are embarrassingly parallel per
+pose); the only cross-chip communication is the tiny psum of the per-tier
+valid counts that drives the ``lax.cond`` tier-skipping — which the compiler
+inserts automatically because the tier predicate ``jnp.all(valids)`` is a
+reduction over the sharded axis.
+
+Also provides the scaling-efficiency harness the reference lacks entirely
+(it is single-GPU, ``/root/reference/scripts/train.py:249-250``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ikflow_tpu.parallel.mesh import DATA_AXIS, batch_sharding, make_mesh
+
+
+def solve_exact_sharded(
+    solver,
+    target_poses: jnp.ndarray,
+    mesh=None,
+    **solve_kwargs,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shard poses over the mesh and run the solver's exact-IK program.
+
+    Pads the pose count up to a multiple of the mesh size (padded poses are
+    copies of pose 0; their results are dropped). Returns (solutions, valids)
+    with the original length.
+    """
+    mesh = mesh or make_mesh()
+    n = target_poses.shape[0]
+    d = mesh.devices.size
+    n_pad = ((n + d - 1) // d) * d
+    if n_pad != n:
+        pad = jnp.broadcast_to(target_poses[:1], (n_pad - n, 7))
+        target_poses = jnp.concatenate([target_poses, pad], axis=0)
+    poses_sharded = jax.device_put(target_poses, batch_sharding(mesh))
+    sols, valids = solver.generate_exact_ik_solutions(poses_sharded, **solve_kwargs)
+    return sols[:n], valids[:n]
+
+
+def scaling_efficiency(
+    solver,
+    n_poses: int = 1024,
+    device_counts=(1, None),
+    reps: int = 3,
+    key: Optional[jax.Array] = None,
+    **solve_kwargs,
+):
+    """Throughput at 1 device vs d devices -> efficiency = T_d / (d * T_1).
+
+    Returns a list of {devices, seconds, sols_per_s, efficiency} dicts. On a
+    real pod this measures ICI scaling; on the virtual CPU mesh it validates
+    the mechanics (the devices share host cores, so efficiency is not
+    meaningful there).
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    robot = solver.robot
+    poses = robot.forward_kinematics(
+        robot.sample_joint_angles(jax.random.fold_in(key, 1), n_poses, joint_limit_eps=0.02)
+    )
+    all_devices = jax.devices()
+    rows = []
+    base_throughput = None
+    for dc in device_counts:
+        dc = len(all_devices) if dc is None else dc
+        mesh = make_mesh(all_devices[:dc])
+        # Warm-up/compile.
+        sols, valids = solve_exact_sharded(solver, poses, mesh=mesh, key=key, **solve_kwargs)
+        sols.block_until_ready()
+        ts = []
+        for r in range(reps):
+            t0 = time.time()
+            sols, _ = solve_exact_sharded(
+                solver, poses, mesh=mesh, key=jax.random.fold_in(key, r), **solve_kwargs
+            )
+            sols.block_until_ready()
+            ts.append(time.time() - t0)
+        sec = sorted(ts)[len(ts) // 2]
+        thr = n_poses / sec
+        if base_throughput is None:
+            base_throughput = thr / dc  # per-device at the first count
+        rows.append(
+            {
+                "devices": dc,
+                "seconds": sec,
+                "sols_per_s": thr,
+                "efficiency": thr / (dc * base_throughput),
+            }
+        )
+    return rows
