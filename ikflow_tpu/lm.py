@@ -19,6 +19,44 @@ import jax.numpy as jnp
 from ikflow_tpu.math.quaternion import geodesic_distance, quat_conjugate, quat_log_map, quat_mul
 
 
+def cholesky_solve_small(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve SPD systems A x = b for tiny d (<= ~10), batched over the leading
+    axis, with the d-loops unrolled at trace time.
+
+    XLA's batched LU (``jnp.linalg.solve``) lowers to a generic loop-heavy
+    routine that maps poorly onto the TPU vector unit for d=7..8; this unrolled
+    Cholesky is straight-line elementwise code over the batch axis — every op
+    is a (n,)-shaped VPU op. A: (n, d, d); b: (n, d).
+    """
+    d = A.shape[-1]
+    # Cholesky factorization A = L L^T, L lower.
+    L = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i + 1):
+            s = A[:, i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                L[i][j] = s / L[j][j]
+    # Forward substitution L y = b.
+    y = [None] * d
+    for i in range(d):
+        s = b[:, i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # Back substitution L^T x = y.
+    x = [None] * d
+    for i in reversed(range(d)):
+        s = y[i]
+        for k in range(i + 1, d):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def pose_residual(pose: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """6-D task-space residual [dp; omega]: dp = p_target - p, omega the
     rotation vector taking the realized orientation onto the target
@@ -46,7 +84,7 @@ def lm_step(
     ndof = q.shape[-1]
     JtJ = jnp.einsum("nij,nik->njk", J, J) + lambd * jnp.eye(ndof, dtype=q.dtype)
     Jtr = jnp.einsum("nij,ni->nj", J, r)
-    dq = jnp.linalg.solve(JtJ, Jtr[..., None])[..., 0]
+    dq = cholesky_solve_small(JtJ, Jtr)
     q_new = q + dq
     if clamp_to_limits:
         q_new = jnp.clip(q_new, robot.limits_low(q.dtype), robot.limits_high(q.dtype))
@@ -135,7 +173,7 @@ def refine(
             mask2d = free[:, :, None] * free[:, None, :]
             JtJ = JtJ * mask2d + (1.0 - free)[:, :, None] * eye
             Jtr = Jtr * free
-        dq = jnp.linalg.solve(JtJ, Jtr[..., None])[..., 0]
+        dq = cholesky_solve_small(JtJ, Jtr)
         q_try = q + dq
         if clamp_to_limits:
             q_try = jnp.clip(q_try, low, high)
