@@ -50,7 +50,8 @@ def main() -> int:
     weights_path = os.environ.get(
         "IKFLOW_TPU_BENCH_WEIGHTS", os.path.join(MODELS_DIR, "panda__full.npz")
     )
-    solver = IKFlowSolver(hp, robot, seed=0)
+    use_pallas = os.environ.get("IKFLOW_TPU_BENCH_PALLAS", "0") == "1"
+    solver = IKFlowSolver(hp, robot, seed=0, use_pallas=use_pallas)
     weights_loaded = False
     if os.path.exists(weights_path):
         from ikflow_tpu.training.checkpoints import load_deploy
@@ -78,8 +79,9 @@ def main() -> int:
             k, acc = carry
             k = jax.random.fold_in(k, i)
             poses_dep = poses + (acc * 1e-30)  # data dependency, value-neutral
+            aux = solver._padded_params if solver._use_pallas else params
             sols, valids = solver._exact_impl(
-                params, poses_dep, k, REPEAT_COUNTS, POS_TOL, ROT_TOL, N_OPT_STEPS, 1e-4, 1.0
+                params, aux, poses_dep, k, REPEAT_COUNTS, POS_TOL, ROT_TOL, N_OPT_STEPS, 1e-4, 1.0
             )
             acc = jnp.sum(sols) * 1e-6
             return (k, acc), jnp.sum(valids)
@@ -121,6 +123,7 @@ def main() -> int:
         "p50_latency_ms_per_batch": round(1000 * median_s, 2),
         "compile_s": round(compile_s, 1),
         "weights": "trained" if weights_loaded else "random(untrained)",
+        "backend": "pallas" if use_pallas else "xla",
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

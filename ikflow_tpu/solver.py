@@ -63,6 +63,7 @@ class IKFlowSolver:
         robot: KinematicChain,
         params=None,
         seed: int = 0,
+        use_pallas: bool = False,
     ):
         assert isinstance(hyper_parameters, FlowHyperParams), type(hyper_parameters)
         assert isinstance(robot, KinematicChain), type(robot)
@@ -81,6 +82,11 @@ class IKFlowSolver:
         if params is None:
             params = self._flow.init(jax.random.PRNGKey(seed))
         self.params = params
+        # Fused Pallas inference path (flow/pallas_subnet.py): keeps each
+        # coupling subnet's activations VMEM-resident. TPU-only; the jnp path
+        # remains the source of truth and the training path.
+        self._use_pallas = use_pallas
+        self._padded_params = self._flow.pad_params_for_pallas(params) if use_pallas else None
         self._key = jax.random.PRNGKey(seed ^ 0x5EED)
         self._jit_cache = {}
 
@@ -111,6 +117,16 @@ class IKFlowSolver:
         """Install trained parameters (the reference's ``load_state_dict``)."""
         self.params = params
         self._weights_loaded = True
+        if self._use_pallas:
+            self._padded_params = self._flow.pad_params_for_pallas(params)
+
+    def _inverse_q(self, params, padded_params, latent, cond):
+        """Flow inverse -> raw q slice, through the configured backend."""
+        if self._use_pallas:
+            q = self._flow.inverse_fused(padded_params, latent, cond)
+        else:
+            q, _ = self._flow.inverse(params, latent, cond)
+        return q
 
     # ------------------------------------------------------------------
     def _next_key(self) -> jax.Array:
@@ -172,7 +188,8 @@ class IKFlowSolver:
             assert latent.shape == (n, self._network_width), latent.shape
 
         fn = self._cached_generate(n, bool(clamp_to_joint_limits), bool(return_detailed))
-        out = fn(self.params, y_batch, latent)
+        aux = self._padded_params if self._use_pallas else self.params
+        out = fn(self.params, aux, y_batch, latent)
         if return_detailed:
             solutions, ev = out
             return (solutions, ev.pos_errors, ev.rot_errors, ev.joint_limits_exceeded, ev.self_colliding)
@@ -183,9 +200,9 @@ class IKFlowSolver:
         fn = self._jit_cache.get(cache_key)
         if fn is None:
 
-            def impl(params, y_batch, latent):
+            def impl(params, aux, y_batch, latent):
                 cond = self._conditional(y_batch)
-                q, _ = self._flow.inverse(params, latent, cond)
+                q = self._inverse_q(params, aux, latent, cond)
                 solutions = q[:, : self.ndof]
                 if clamp:
                     solutions = self._robot.clamp_to_joint_limits(solutions)
@@ -231,16 +248,17 @@ class IKFlowSolver:
         fn = self._jit_cache.get(cache_key)
         if fn is None:
             fn = jax.jit(
-                lambda params, poses, k: self._exact_impl(
-                    params, poses, k, repeat_counts, pos_error_threshold,
+                lambda params, aux, poses, k: self._exact_impl(
+                    params, aux, poses, k, repeat_counts, pos_error_threshold,
                     rot_error_threshold, n_opt_steps_max, lambd, latent_scale,
                 )
             )
             self._jit_cache[cache_key] = fn
-        return fn(self.params, target_poses, key if key is not None else self._next_key())
+        aux = self._padded_params if self._use_pallas else self.params
+        return fn(self.params, aux, target_poses, key if key is not None else self._next_key())
 
     def _exact_impl(
-        self, params, poses, key, repeat_counts, pos_tol, rot_tol, n_steps, lambd, latent_scale
+        self, params, aux, poses, key, repeat_counts, pos_tol, rot_tol, n_steps, lambd, latent_scale
     ):
         n = poses.shape[0]
         ndof = self.ndof
@@ -256,7 +274,7 @@ class IKFlowSolver:
                 poses_tiled = jnp.tile(poses, (r, 1))
                 latent = latent_scale * jax.random.normal(sub, (r * n, self._network_width), poses.dtype)
                 cond = self._conditional(poses_tiled)
-                q0, _ = self._flow.inverse(params, latent, cond)
+                q0 = self._inverse_q(params, aux, latent, cond)
                 q0 = self._robot.clamp_to_joint_limits(q0[:, :ndof])
                 cap_q, cap_valid, _ = refine(
                     self._robot, q0, poses_tiled, n_steps, pos_tol, rot_tol, lambd,
