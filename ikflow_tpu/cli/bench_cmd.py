@@ -31,8 +31,78 @@ def add_parser(sub):
                    help="runtime-vs-depth sweep (parity: scripts/evaluate_inference_speed.py)")
     p.add_argument("--scaling", action="store_true",
                    help="1-device vs all-devices exact-IK scaling efficiency")
+    p.add_argument("--compare", action="store_true",
+                   help="4-method comparison: flow-approx / native-LM / flow+LM exact / "
+                        "native-LM seeded by flow (parity: scripts/benchmark_runtime.py)")
     p.set_defaults(func=run)
     return p
+
+
+def _run_compare(args, solver) -> int:
+    """4 solve methods over batch sizes (parity: benchmark_runtime.py:76-93):
+    flow-approx (device), native LM from random seeds (host C++, the
+    klampt-IK role), flow+LM exact (device), native LM seeded by the flow."""
+    import jax
+    import numpy as np
+
+    from ikflow_tpu.robots.native_oracle import NativeFkOracle, native_available
+
+    robot = solver.robot
+    oracle = NativeFkOracle(robot) if native_available() else None
+    key = jax.random.PRNGKey(args.seed)
+    for n in args.batch_sizes:
+        kp, ks = jax.random.split(jax.random.fold_in(key, n))
+        poses = robot.forward_kinematics(robot.sample_joint_angles(kp, n, joint_limit_eps=0.02))
+        poses_np = np.asarray(poses, dtype=np.float64)
+
+        def m_approx():
+            out = solver.generate_ik_solutions(poses, key=ks, allow_uninitialized=args.uninitialized)
+            out.block_until_ready()
+            return out
+
+        t = _timed(m_approx, args.k)
+        print(json.dumps({"mode": "flow_approx", "batch": n, "seconds": t, "sols_per_s": n / t}))
+
+        def m_exact():
+            sols, valids = solver.generate_exact_ik_solutions(
+                poses, repeat_counts=tuple(args.repeat_counts), n_opt_steps_max=args.n_opt_steps_max,
+                pos_error_threshold=EXACT_POS_TOL, rot_error_threshold=EXACT_ROT_TOL,
+                key=ks, allow_uninitialized=args.uninitialized,
+            )
+            sols.block_until_ready()
+            return valids
+
+        valids = m_exact()
+        t = _timed(m_exact, args.k)
+        print(json.dumps({"mode": "flow_plus_lm_exact", "batch": n, "seconds": t,
+                          "sols_per_s": n / t, "valid_fraction": float(np.asarray(valids).mean())}))
+
+        if oracle is not None:
+            q_rand = np.asarray(robot.sample_joint_angles(ks, n), dtype=np.float64)
+
+            def m_native():
+                return oracle.ik_lm(poses_np, q_rand.copy(), max_iters=60,
+                                    pos_tol=EXACT_POS_TOL, rot_tol=EXACT_ROT_TOL)
+
+            _, valid = m_native()
+            t = _timed(lambda: m_native()[0], args.k)
+            print(json.dumps({"mode": "native_lm_random_seed", "batch": n, "seconds": t,
+                              "sols_per_s": n / t, "valid_fraction": float(valid.mean())}))
+
+            seeds = np.asarray(
+                solver.generate_ik_solutions(poses, key=ks, allow_uninitialized=args.uninitialized),
+                dtype=np.float64,
+            )
+
+            def m_native_seeded():
+                return oracle.ik_lm(poses_np, seeds.copy(), max_iters=20,
+                                    pos_tol=EXACT_POS_TOL, rot_tol=EXACT_ROT_TOL)
+
+            _, valid = m_native_seeded()
+            t = _timed(lambda: m_native_seeded()[0], args.k)
+            print(json.dumps({"mode": "native_lm_flow_seeded", "batch": n, "seconds": t,
+                              "sols_per_s": n / t, "valid_fraction": float(valid.mean())}))
+    return 0
 
 
 def _timed(fn, k):
@@ -97,6 +167,9 @@ def run(args: argparse.Namespace) -> int:
         for r in rows:
             print(json.dumps(r))
         return 0
+
+    if args.compare:
+        return _run_compare(args, solver)
 
     key = jax.random.PRNGKey(args.seed)
     rows = []
