@@ -55,6 +55,9 @@ def add_parser(sub):
     p.add_argument("--time_budget_s", type=float, default=None,
                    help="stop at the first window boundary past this wall-clock budget")
     p.add_argument("--dataset_size", type=int, default=2_500_000)
+    p.add_argument("--wandb", action="store_true",
+                   help="also log to wandb when the library is available (JSONL is always written)")
+    p.add_argument("--wandb_project", type=str, default="ikflow-tpu")
     p.set_defaults(func=run)
     return p
 
@@ -134,7 +137,43 @@ def run(args: argparse.Namespace) -> int:
         mesh = make_mesh()
         print(f"data-parallel over {mesh.devices.size} devices")
 
-    trainer = Trainer(flow, robot, cfg, mesh=mesh, log_dir=run_dir)
+    # Persist run config + dataset hash (parity: wandb config + dataset-hash
+    # logging, lt_data.py:44-56 / train.py:197-199).
+    import hashlib
+    import json as _json
+
+    os.makedirs(run_dir, exist_ok=True)
+    ds_path = os.path.join(
+        __import__("ikflow_tpu.training.dataset", fromlist=["dataset_directory"]).dataset_directory(
+            args.robot_name, tuple(args.dataset_tags)
+        ),
+        "dataset.npz",
+    )
+    ds_hash = None
+    if os.path.exists(ds_path):
+        h = hashlib.sha256()
+        with open(ds_path, "rb") as f:
+            while chunk := f.read(1 << 20):
+                h.update(chunk)
+        ds_hash = h.hexdigest()
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        _json.dump(
+            {"hyper_parameters": hp.to_dict(), "train_config": vars(args), "dataset_sha256": ds_hash,
+             "dataset_sizes": {"train": int(dataset.n_train), "test": int(dataset.samples_te.shape[0])}},
+            f, indent=2, default=str,
+        )
+
+    metric_hook = None
+    if args.wandb:
+        from ikflow_tpu.training.wandb_compat import maybe_wandb_hook
+
+        metric_hook = maybe_wandb_hook(
+            args.wandb_project, os.path.basename(run_dir), {**hp.to_dict(), **vars(args)}
+        )
+        if metric_hook is None:
+            print("wandb requested but not installed; continuing with JSONL only")
+
+    trainer = Trainer(flow, robot, cfg, mesh=mesh, log_dir=run_dir, metric_hook=metric_hook)
     t0 = time.time()
     if args.on_device_data:
         params, metrics = trainer.fit_on_device(
