@@ -226,6 +226,7 @@ class IKFlowSolver:
         latent_scale: float = 1.0,
         key: Optional[jax.Array] = None,
         allow_uninitialized: bool = False,
+        retry_capacities: Optional[Tuple[float, ...]] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Exact IK: flow seeds + LM refinement + widening retry tiers.
 
@@ -233,6 +234,15 @@ class IKFlowSolver:
         defaults match — (1,3,10) tiers, 1 mm / 0.1 rad, 3 LM steps — note the
         reference's *benchmark* tolerance is 0.01 rad, passed explicitly).
         Returns (solutions (n, ndof), valids (n,) bool).
+
+        ``retry_capacities``: optional per-tier pose-capacity fractions (first
+        must be 1.0). The reference shrinks retry batches dynamically to the
+        still-invalid poses (``ikflow_solver.py:389``); the fixed-shape analog
+        compacts invalid poses to the front with a device-side ``argsort`` and
+        retries a fixed-size bucket of ``ceil(frac * n)`` poses. With a trained
+        flow (a few % invalid after tier 1), ``(1.0, 0.25, 0.0625)`` cuts tier
+        cost ~6x with no contract change as long as the invalid count fits the
+        bucket; ``None`` retries at full width (safe for cold/untrained flows).
         """
         if not allow_uninitialized:
             assert self._weights_loaded, "Model weights have not been loaded."
@@ -240,10 +250,14 @@ class IKFlowSolver:
         assert target_poses.ndim == 2 and target_poses.shape[1] == 7, target_poses.shape
         n = target_poses.shape[0]
         repeat_counts = tuple(int(r) for r in repeat_counts)
+        if retry_capacities is not None:
+            assert len(retry_capacities) == len(repeat_counts), (retry_capacities, repeat_counts)
+            assert retry_capacities[0] == 1.0, "first tier must cover all poses"
+            retry_capacities = tuple(float(c) for c in retry_capacities)
 
         cache_key = (
             "exact", n, repeat_counts, float(pos_error_threshold), float(rot_error_threshold),
-            int(n_opt_steps_max), float(lambd), float(latent_scale),
+            int(n_opt_steps_max), float(lambd), float(latent_scale), retry_capacities,
         )
         fn = self._jit_cache.get(cache_key)
         if fn is None:
@@ -251,14 +265,37 @@ class IKFlowSolver:
                 lambda params, aux, poses, k: self._exact_impl(
                     params, aux, poses, k, repeat_counts, pos_error_threshold,
                     rot_error_threshold, n_opt_steps_max, lambd, latent_scale,
+                    retry_capacities,
                 )
             )
             self._jit_cache[cache_key] = fn
         aux = self._padded_params if self._use_pallas else self.params
         return fn(self.params, aux, target_poses, key if key is not None else self._next_key())
 
+    def _solve_tier(self, params, aux, poses, sub, rk, r, pos_tol, rot_tol, n_steps, lambd, latent_scale):
+        """One retry tier on the given (fixed-size) pose set: tile x r, flow
+        seeds, LM refine, first-valid-wins reduction over repeat tiles."""
+        n, ndof = poses.shape[0], self.ndof
+        # Tile tile-major: index t*n + i covers pose i (reference's
+        # ``conditional.repeat((repeat_count, 1))``, ikflow_solver.py:185).
+        poses_tiled = jnp.tile(poses, (r, 1))
+        latent = latent_scale * jax.random.normal(sub, (r * n, self._network_width), poses.dtype)
+        cond = self._conditional(poses_tiled)
+        q0 = self._inverse_q(params, aux, latent, cond)
+        q0 = self._robot.clamp_to_joint_limits(q0[:, :ndof])
+        cap_q, cap_valid, _ = refine(
+            self._robot, q0, poses_tiled, n_steps, pos_tol, rot_tol, lambd, restart_key=rk
+        )
+        cap_q = cap_q.reshape(r, n, ndof)
+        cap_valid = cap_valid.reshape(r, n)
+        first = jnp.argmax(cap_valid, axis=0)  # earliest valid tile per pose
+        tier_sols = jnp.take_along_axis(cap_q, first[None, :, None], axis=0)[0]
+        tier_valid = jnp.any(cap_valid, axis=0)
+        return tier_sols, tier_valid
+
     def _exact_impl(
-        self, params, aux, poses, key, repeat_counts, pos_tol, rot_tol, n_steps, lambd, latent_scale
+        self, params, aux, poses, key, repeat_counts, pos_tol, rot_tol, n_steps, lambd,
+        latent_scale, retry_capacities=None,
     ):
         n = poses.shape[0]
         ndof = self.ndof
@@ -267,39 +304,38 @@ class IKFlowSolver:
 
         for tier_idx, r in enumerate(repeat_counts):
             key, sub, rk = jax.random.split(key, 3)
-
-            def run_tier(sub=sub, rk=rk, r=r):
-                # Tile tile-major: index t*n + i covers pose i (reference's
-                # ``conditional.repeat((repeat_count, 1))``, ikflow_solver.py:185).
-                poses_tiled = jnp.tile(poses, (r, 1))
-                latent = latent_scale * jax.random.normal(sub, (r * n, self._network_width), poses.dtype)
-                cond = self._conditional(poses_tiled)
-                q0 = self._inverse_q(params, aux, latent, cond)
-                q0 = self._robot.clamp_to_joint_limits(q0[:, :ndof])
-                cap_q, cap_valid, _ = refine(
-                    self._robot, q0, poses_tiled, n_steps, pos_tol, rot_tol, lambd,
-                    restart_key=rk,
-                )
-                cap_q = cap_q.reshape(r, n, ndof)
-                cap_valid = cap_valid.reshape(r, n)
-                first = jnp.argmax(cap_valid, axis=0)  # earliest valid tile per pose
-                tier_sols = jnp.take_along_axis(cap_q, first[None, :, None], axis=0)[0]
-                tier_valid = jnp.any(cap_valid, axis=0)
-                return tier_sols, tier_valid
-
             if tier_idx == 0:
-                tier_sols, tier_valid = run_tier()
-            else:
-                # Skip the whole tier when already fully converged — the TPU
-                # analog of the reference's early return (ikflow_solver.py:383-385).
-                tier_sols, tier_valid = jax.lax.cond(
-                    jnp.all(valids),
-                    lambda: (sols, valids),
-                    run_tier,
+                tier_sols, tier_valid = self._solve_tier(
+                    params, aux, poses, sub, rk, r, pos_tol, rot_tol, n_steps, lambd, latent_scale
                 )
-            take = jnp.logical_not(valids) & tier_valid
-            sols = jnp.where(take[:, None], tier_sols, sols)
-            valids = valids | tier_valid
+                take = jnp.logical_not(valids) & tier_valid
+                sols = jnp.where(take[:, None], tier_sols, sols)
+                valids = valids | tier_valid
+                continue
+
+            cap = n
+            if retry_capacities is not None:
+                cap = min(n, max(8, int(np.ceil(retry_capacities[tier_idx] * n))))
+
+            def run_tier(sols=sols, valids=valids, sub=sub, rk=rk, r=r, cap=cap):
+                # Fixed-shape compaction: invalid poses first (False < True in
+                # a stable argsort), retry the first `cap` of them.
+                idx = jnp.argsort(valids, stable=True)[:cap]
+                sub_poses = jnp.take(poses, idx, axis=0)
+                tier_sols, tier_valid = self._solve_tier(
+                    params, aux, sub_poses, sub, rk, r, pos_tol, rot_tol, n_steps, lambd, latent_scale
+                )
+                prev_valid = jnp.take(valids, idx)
+                take = jnp.logical_not(prev_valid) & tier_valid
+                new_sols = sols.at[idx].set(
+                    jnp.where(take[:, None], tier_sols, jnp.take(sols, idx, axis=0))
+                )
+                new_valids = valids.at[idx].set(prev_valid | tier_valid)
+                return new_sols, new_valids
+
+            # Skip the whole tier when already fully converged — the TPU
+            # analog of the reference's early return (ikflow_solver.py:383-385).
+            sols, valids = jax.lax.cond(jnp.all(valids), lambda: (sols, valids), run_tier)
         return sols, valids
 
     # ------------------------------------------------------------------
