@@ -121,8 +121,13 @@ class IKFlowSolver:
             self._padded_params = self._flow.pad_params_for_pallas(params)
 
     def _inverse_q(self, params, padded_params, latent, cond):
-        """Flow inverse -> raw q slice, through the configured backend."""
-        if self._use_pallas:
+        """Flow inverse -> raw q slice, through the configured backend.
+
+        The Pallas path only lowers on real TPU backends; on CPU (tests, dev
+        boxes) it silently falls back to the jnp path rather than failing at
+        compile time.
+        """
+        if self._use_pallas and jax.default_backend() != "cpu":
             q = self._flow.inverse_fused(padded_params, latent, cond)
         else:
             q, _ = self._flow.inverse(params, latent, cond)
