@@ -125,10 +125,23 @@ def run(args: argparse.Namespace) -> int:
     flow = build_flow(hp, robot)
     params = flow.init(jax.random.PRNGKey(cfg.seed))
     start_step = 0
+    opt_state = None
     if args.resume:
-        restored, start_step = restore_checkpoint(args.resume, template={"params": params})
+        from ikflow_tpu.training.optimizers import make_optimizer
+
+        opt_template = make_optimizer(
+            cfg.optimizer, cfg.learning_rate, cfg.gamma, cfg.step_lr_every, cfg.gradient_clip
+        ).init(params)
+        try:
+            restored, start_step = restore_checkpoint(
+                args.resume, template={"params": params, "opt_state": opt_template}
+            )
+            opt_state = restored.get("opt_state")
+        except Exception:
+            restored, start_step = restore_checkpoint(args.resume, template={"params": params})
         params = restored["params"]
-        print(f"resumed from {args.resume} at step {start_step}")
+        print(f"resumed from {args.resume} at step {start_step} "
+              f"(opt_state {'restored' if opt_state is not None else 'reset'})")
 
     mesh = None
     if args.data_parallel:
@@ -179,9 +192,12 @@ def run(args: argparse.Namespace) -> int:
         params, metrics = trainer.fit_on_device(
             params, dataset, checkpoint_dir=ckpt_dir,
             steps_per_call=args.steps_per_call, time_budget_s=args.time_budget_s,
+            opt_state=opt_state, start_step=start_step,
         )
     else:
-        params, metrics = trainer.fit(params, dataset, checkpoint_dir=ckpt_dir, start_step=start_step)
+        params, metrics = trainer.fit(
+            params, dataset, checkpoint_dir=ckpt_dir, start_step=start_step, opt_state=opt_state
+        )
     dt = time.time() - t0
     steps_done = cfg.n_steps - start_step
     print(f"trained {steps_done} steps in {dt:.1f}s ({steps_done / max(dt, 1e-9):.1f} steps/s); "

@@ -240,6 +240,7 @@ class Trainer:
         steps_per_call: int = 100,
         opt_state=None,
         time_budget_s: Optional[float] = None,
+        start_step: int = 0,
     ):
         """High-throughput variant of ``fit``: resident dataset + scanned steps.
 
@@ -259,7 +260,7 @@ class Trainer:
 
         many = self._build_scan_steps(dataset.n_train, steps_per_call)
         last_metrics: Dict = {}
-        step = 0
+        step = start_step
         t_start = time.time()
         while step < cfg.n_steps:
             t0 = time.time()

@@ -1,0 +1,64 @@
+#!/bin/bash
+# Training supervisor for flaky TPU-tunnel environments: launches ikflow-tpu
+# train, watches the metrics JSONL mtime, and on a stall (no metrics for
+# STALL_S seconds) kills the exact training PID and relaunches with --resume
+# from the latest checkpoint. Stops when the total budget expires or the run
+# completes on its own.
+#
+# Usage: train_with_watchdog.sh <run_dir> <total_budget_s> <train args...>
+set -u
+
+RUN_DIR="$1"; shift
+TOTAL_BUDGET_S="$1"; shift
+STALL_S="${STALL_S:-360}"
+METRICS="$RUN_DIR/metrics.jsonl"
+CKPTS="$RUN_DIR/checkpoints"
+START=$(date +%s)
+
+launch() {
+    local resume_args=()
+    if [ -d "$CKPTS" ] && [ -n "$(ls -A "$CKPTS" 2>/dev/null)" ]; then
+        resume_args=(--resume "$CKPTS")
+    fi
+    python -m ikflow_tpu.cli.main train "$@" --run_dir "$RUN_DIR" "${resume_args[@]}" \
+        >> "$RUN_DIR/train_stdout.log" 2>&1 &
+    TRAIN_PID=$!
+    LAUNCH_TS=$(date +%s)
+    echo "$(date -u +%H:%M:%S) launched train pid=$TRAIN_PID ${resume_args[*]:-}"
+}
+
+mkdir -p "$RUN_DIR"
+launch "$@"
+
+while true; do
+    sleep 60
+    NOW=$(date +%s)
+    ELAPSED=$((NOW - START))
+    if ! kill -0 "$TRAIN_PID" 2>/dev/null; then
+        echo "$(date -u +%H:%M:%S) training exited on its own"
+        break
+    fi
+    if [ "$ELAPSED" -ge "$TOTAL_BUDGET_S" ]; then
+        echo "$(date -u +%H:%M:%S) budget exhausted; stopping pid $TRAIN_PID"
+        kill "$TRAIN_PID" 2>/dev/null
+        sleep 10
+        kill -9 "$TRAIN_PID" 2>/dev/null
+        break
+    fi
+    if [ -f "$METRICS" ]; then
+        MT=$(stat -c %Y "$METRICS")
+        # Progress reference = most recent of (metrics write, this launch):
+        # a fresh launch needs compile time before its first metrics line.
+        REF=$((MT > LAUNCH_TS ? MT : LAUNCH_TS))
+        AGE=$((NOW - REF))
+        if [ "$AGE" -ge "$STALL_S" ]; then
+            echo "$(date -u +%H:%M:%S) STALL detected (metrics ${AGE}s old); restarting pid $TRAIN_PID"
+            kill "$TRAIN_PID" 2>/dev/null
+            sleep 10
+            kill -9 "$TRAIN_PID" 2>/dev/null
+            sleep 5
+            launch "$@"
+        fi
+    fi
+done
+echo "$(date -u +%H:%M:%S) supervisor done"
