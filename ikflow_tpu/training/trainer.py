@@ -251,6 +251,10 @@ class Trainer:
         cfg = self.config
         key = jax.random.PRNGKey(cfg.seed)
         opt_state = self.optimizer.init(params) if opt_state is None else opt_state
+        # The scan-step program donates params/opt_state buffers for in-place
+        # updates; copy at entry so the caller's arrays stay valid.
+        params = jax.tree_util.tree_map(jnp.copy, params)
+        opt_state = jax.tree_util.tree_map(jnp.copy, opt_state)
         samples = jnp.asarray(dataset.samples_tr)
         endpoints = jnp.asarray(dataset.endpoints_tr)
         if self.mesh is not None:
