@@ -74,6 +74,12 @@ def main() -> int:
     # end. Per-solve time = (t_total - t_rtt) / K, with t_rtt measured by a
     # K=1 run... simpler: time K and 2K runs and use the difference, which
     # cancels constant tunnel/dispatch overhead exactly.
+    # With a trained flow only a few % of poses miss tier 1, so the retry tiers
+    # run capacity-capped (the fixed-shape analog of the reference's dynamic
+    # batch shrinking at ikflow_solver.py:389); with random weights everything
+    # retries full-width.
+    capacities = (1.0, 0.25, 0.0625) if weights_loaded else None
+
     def chained(params, poses, key0, iters):
         def body(carry, i):
             k, acc = carry
@@ -81,7 +87,8 @@ def main() -> int:
             poses_dep = poses + (acc * 1e-30)  # data dependency, value-neutral
             aux = solver._padded_params if solver._use_pallas else params
             sols, valids = solver._exact_impl(
-                params, aux, poses_dep, k, REPEAT_COUNTS, POS_TOL, ROT_TOL, N_OPT_STEPS, 1e-4, 1.0
+                params, aux, poses_dep, k, REPEAT_COUNTS, POS_TOL, ROT_TOL, N_OPT_STEPS, 1e-4, 1.0,
+                capacities,
             )
             acc = jnp.sum(sols) * 1e-6
             return (k, acc), jnp.sum(valids)
@@ -123,6 +130,7 @@ def main() -> int:
         "p50_latency_ms_per_batch": round(1000 * median_s, 2),
         "compile_s": round(compile_s, 1),
         "weights": "trained" if weights_loaded else "random(untrained)",
+        "retry_capacities": list(capacities) if capacities else "full",
         "backend": "pallas" if use_pallas else "xla",
         "device": str(jax.devices()[0]),
     }
