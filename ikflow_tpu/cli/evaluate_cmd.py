@@ -27,8 +27,68 @@ def add_parser(sub):
     p.add_argument("--do_refinement", action="store_true")
     p.add_argument("--uninitialized", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--all", dest="eval_all", action="store_true",
+                   help="evaluate every registered model and append a markdown table "
+                        "to model_performances.md (parity: evaluate.py --all; unlike the "
+                        "reference the file is created if missing)")
+    p.add_argument("--performances_file", type=str, default="model_performances.md")
     p.set_defaults(func=run)
     return p
+
+
+def _run_all(args: argparse.Namespace) -> int:
+    """Evaluate every registered model that has weights on disk (or all, with
+    --uninitialized) and append rows to the performances markdown table
+    (parity: evaluate.py:227-236)."""
+    import datetime
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ikflow_tpu.registry import get_all_model_names, get_ik_solver
+
+    rows = []
+    for name in get_all_model_names():
+        try:
+            solver, hp = get_ik_solver(name, allow_uninitialized=args.uninitialized)
+        except FileNotFoundError:
+            print(f"skipping {name} (no weights; pass --uninitialized to include)")
+            continue
+        robot = solver.robot
+        key = jax.random.PRNGKey(args.seed)
+        k1, k2 = jax.random.split(key)
+        testset = robot.forward_kinematics(
+            robot.sample_joint_angles(k1, args.testset_size, joint_limit_eps=0.02)
+        )
+        poses_t = jnp.repeat(testset, args.n_samples_for_errors, axis=0)
+        sols = solver.generate_ik_solutions(
+            poses_t, latent_distribution=DEFAULT_LATENT_DISTRIBUTION,
+            latent_scale=DEFAULT_LATENT_SCALE, key=k2, allow_uninitialized=args.uninitialized,
+        )
+        ev = solver.evaluate(poses_t, sols)
+        rows.append((
+            name, robot.name,
+            1000 * float(jnp.mean(ev.pos_errors)),
+            float(jnp.rad2deg(jnp.mean(ev.rot_errors))),
+            100 * float(jnp.mean(ev.joint_limits_exceeded.astype(jnp.float32))),
+            100 * float(jnp.mean(ev.self_colliding.astype(jnp.float32))),
+        ))
+        print(f"evaluated {name}")
+
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
+    new_file = not os.path.exists(args.performances_file)
+    with open(args.performances_file, "a") as f:
+        if new_file:
+            f.write("# Model performances\n")
+        f.write(f"\n## {stamp} ({args.testset_size} poses x {args.n_samples_for_errors} sols, "
+                f"latent scale {DEFAULT_LATENT_SCALE})\n\n")
+        f.write("| model | robot | mean l2 (mm) | mean ang (deg) | % jlim exceeded | % self-colliding |\n")
+        f.write("|---|---|---|---|---|---|\n")
+        for r in rows:
+            f.write(f"| {r[0]} | {r[1]} | {r[2]:.2f} | {r[3]:.2f} | {r[4]:.2f} | {r[5]:.2f} |\n")
+    print(f"wrote {len(rows)} rows to {args.performances_file}")
+    return 0
 
 
 def run(args: argparse.Namespace) -> int:
@@ -39,6 +99,9 @@ def run(args: argparse.Namespace) -> int:
     from ikflow_tpu.flow import FlowHyperParams
     from ikflow_tpu.robots import get_robot
     from ikflow_tpu.solver import IKFlowSolver
+
+    if args.eval_all:
+        return _run_all(args)
 
     if args.model_name:
         from ikflow_tpu.registry import get_ik_solver
