@@ -1,0 +1,31 @@
+#!/bin/bash
+# Sequential training queue for the non-flagship robots. Waits for a prior
+# supervisor PID to exit, then trains each robot under its own watchdog.
+# Usage: train_queue.sh <wait_pid>
+set -u
+WAIT_PID="${1:-}"
+
+if [ -n "$WAIT_PID" ]; then
+    echo "waiting for pid $WAIT_PID to finish..."
+    while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 30; done
+fi
+
+BASE=/root/.cache/ikflow_tpu/training_logs
+MODELS=/root/.cache/ikflow_tpu/models
+HERE="$(dirname "$0")"
+
+train_one() {
+    local robot="$1" nb="$2" dim="$3" budget="$4" export_name="$5"
+    echo "=== training $robot (nb_nodes=$nb dim=$dim budget=${budget}s) ==="
+    STALL_S=420 bash "$HERE/train_with_watchdog.sh" "$BASE/${robot}_r1" "$budget" \
+        --robot_name "$robot" --nb_nodes "$nb" --dim_latent_space "$dim" \
+        --batch_size 4096 --learning_rate 2.5e-4 --gamma 0.9795 --step_lr_every 4883 \
+        --n_steps 1000000 --on_device_data --steps_per_call 500 --time_budget_s $((budget - 240)) \
+        --eval_every 25000 --log_every 500 --checkpoint_every 25000 \
+        --export "$MODELS/$export_name"
+}
+
+train_one fetch_arm 16 10 2400 fetch_arm__large.npz
+train_one fetch     12 8  2400 fetch__full.npz
+train_one rizon4    12 7  2400 rizon4__full.npz
+echo "train queue done"
