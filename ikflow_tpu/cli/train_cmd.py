@@ -199,9 +199,12 @@ def run(args: argparse.Namespace) -> int:
             params, dataset, checkpoint_dir=ckpt_dir, start_step=start_step, opt_state=opt_state
         )
     dt = time.time() - t0
-    steps_done = cfg.n_steps - start_step
-    print(f"trained {steps_done} steps in {dt:.1f}s ({steps_done / max(dt, 1e-9):.1f} steps/s); "
-          f"final tr/loss={metrics.get('tr/loss', float('nan')):.4f}; run dir: {run_dir}")
+    steps_done = max(cfg.n_steps - start_step, 0)
+    if steps_done == 0:
+        print(f"checkpoint already at/past n_steps ({start_step} >= {cfg.n_steps}); nothing to train")
+    else:
+        print(f"trained up to {steps_done} steps in {dt:.1f}s ({steps_done / max(dt, 1e-9):.1f} steps/s); "
+              f"final tr/loss={metrics.get('tr/loss', float('nan')):.4f}; run dir: {run_dir}")
 
     if args.export:
         path = export_deploy(args.export, params, hp, robot.name, global_step=cfg.n_steps)
