@@ -25,6 +25,18 @@ train_one() {
         --export "$MODELS/$export_name"
 }
 
+# Panda post-training battery first (the flagship weights just landed).
+if [ -f "$MODELS/panda__full.npz" ]; then
+    echo "=== panda post-training eval ==="
+    timeout 1500 python /root/repo/analysis/post_training_eval.py \
+        --weights "$MODELS/panda__full.npz" > "$BASE/panda_post_eval.log" 2>&1
+    echo "=== inference optimization A/B (xla vs pallas) ==="
+    timeout 1200 python /root/repo/analysis/inference_optimization.py \
+        > "$BASE/panda_inference_opt.log" 2>&1
+    echo "=== bench.py (trained) ==="
+    timeout 1200 python /root/repo/bench.py > "$BASE/panda_bench_trained.json" 2>&1
+fi
+
 train_one fetch_arm 16 10 2400 fetch_arm__large.npz
 train_one fetch     12 8  2400 fetch__full.npz
 train_one rizon4    12 7  2400 rizon4__full.npz
