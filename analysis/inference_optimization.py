@@ -39,9 +39,13 @@ def main() -> int:
     padded = flow.pad_params_for_pallas(params)
 
     def chained(fn, a, iters):
+        # The accumulator perturbs the next iteration's input (value-neutral at
+        # 1e-30) so XLA cannot hoist the loop-invariant computation out of the
+        # scan — without this the "benchmark" measures a single pass.
         def run():
             def body(c, _):
-                out = fn(*a)
+                a_dep = (a[0],) + (a[1] + c * 1e-30,) + a[2:]
+                out = fn(*a_dep)
                 return c + jnp.sum(out) * 1e-30, None
 
             acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)

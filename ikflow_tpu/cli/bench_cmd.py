@@ -135,10 +135,10 @@ def run(args: argparse.Namespace) -> int:
             hp.dim_latent_space = max(robot.ndof, 8)
             s = IKFlowSolver(hp, robot)
             pose = robot.forward_kinematics(robot.sample_joint_angles(
-                __import__("jax").random.PRNGKey(0), 1))[0]
+                jax.random.PRNGKey(0), 1))[0]
 
             def go():
-                out = s.generate_ik_solutions(pose, n=100, key=__import__("jax").random.PRNGKey(1),
+                out = s.generate_ik_solutions(pose, n=100, key=jax.random.PRNGKey(1),
                                               allow_uninitialized=True)
                 out.block_until_ready()
 
@@ -159,7 +159,7 @@ def run(args: argparse.Namespace) -> int:
         from ikflow_tpu.parallel.fleet import scaling_efficiency
 
         rows = scaling_efficiency(
-            solver, n_poses=max(args.batch_sizes), key=__import__("jax").random.PRNGKey(args.seed),
+            solver, n_poses=max(args.batch_sizes), key=jax.random.PRNGKey(args.seed),
             repeat_counts=tuple(args.repeat_counts), n_opt_steps_max=args.n_opt_steps_max,
             pos_error_threshold=EXACT_POS_TOL, rot_error_threshold=EXACT_ROT_TOL,
             allow_uninitialized=args.uninitialized,

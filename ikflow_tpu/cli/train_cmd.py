@@ -155,12 +155,11 @@ def run(args: argparse.Namespace) -> int:
     import hashlib
     import json as _json
 
+    from ikflow_tpu.training.dataset import dataset_directory
+
     os.makedirs(run_dir, exist_ok=True)
     ds_path = os.path.join(
-        __import__("ikflow_tpu.training.dataset", fromlist=["dataset_directory"]).dataset_directory(
-            args.robot_name, tuple(args.dataset_tags)
-        ),
-        "dataset.npz",
+        dataset_directory(args.robot_name, tuple(args.dataset_tags)), "dataset.npz"
     )
     ds_hash = None
     if os.path.exists(ds_path):
@@ -207,6 +206,11 @@ def run(args: argparse.Namespace) -> int:
               f"final tr/loss={metrics.get('tr/loss', float('nan')):.4f}; run dir: {run_dir}")
 
     if args.export:
-        path = export_deploy(args.export, params, hp, robot.name, global_step=cfg.n_steps)
+        # metrics["step"] is the step actually reached (a --time_budget_s run
+        # can stop well before n_steps).
+        path = export_deploy(
+            args.export, params, hp, robot.name,
+            global_step=int(metrics.get("step", cfg.n_steps)),
+        )
         print(f"exported deploy artifact -> {path}")
     return 0

@@ -49,11 +49,12 @@ def solution_pose_errors(robot, solutions: jnp.ndarray, target_poses: jnp.ndarra
     return pose_errors(realized, target_poses)
 
 
-def calculate_joint_limits_exceeded(configs: jnp.ndarray, joint_limits) -> jnp.ndarray:
-    """Per-config bool: any joint outside its limits (``evaluation_utils.py:100-112``)."""
-    low = jnp.asarray([lim[0] for lim in joint_limits], dtype=configs.dtype)
-    high = jnp.asarray([lim[1] for lim in joint_limits], dtype=configs.dtype)
-    return jnp.any((configs < low) | (configs > high), axis=-1)
+def calculate_joint_limits_exceeded(robot, configs: jnp.ndarray) -> jnp.ndarray:
+    """Per-config bool: any joint outside its limits (``evaluation_utils.py:100-112``).
+
+    Thin delegate — the limit semantics (strict inequality) live in one place,
+    ``KinematicChain.joint_limits_exceeded``."""
+    return robot.joint_limits_exceeded(configs)
 
 
 def calculate_self_collisions(robot, configs: jnp.ndarray) -> jnp.ndarray:
@@ -67,6 +68,6 @@ def evaluate_solutions(robot, target_poses: jnp.ndarray, solutions: jnp.ndarray)
     return SolutionEvaluation(
         pos_errors=l2,
         rot_errors=ang,
-        joint_limits_exceeded=robot.joint_limits_exceeded(solutions),
-        self_colliding=robot.config_self_collides(solutions),
+        joint_limits_exceeded=calculate_joint_limits_exceeded(robot, solutions),
+        self_colliding=calculate_self_collisions(robot, solutions),
     )

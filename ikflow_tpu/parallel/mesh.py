@@ -54,14 +54,31 @@ def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def initialize_multihost(coordinator_address: Optional[str] = None) -> None:
-    """Multi-host runtime init (DCN). No-op on a single process.
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host runtime init (DCN). Call before any jax op.
 
-    On pods/multi-host CPU fleets call this before any jax op; afterwards
-    ``jax.devices()`` spans all hosts and the same 1-D data mesh recipe
-    applies — jit inserts cross-host collectives automatically.
+    With an explicit ``coordinator_address`` the cluster spec is passed
+    through. Without one, ``jax.distributed.initialize()`` auto-detects the
+    cluster (Cloud TPU pod metadata, SLURM, or JAX_* env vars); if no cluster
+    environment is present this is a single-process run and the call is a
+    no-op. Afterwards ``jax.devices()`` spans all hosts and the same 1-D data
+    mesh recipe applies — jit inserts cross-host collectives automatically.
     """
     if jax.process_count() > 1:
         return  # already initialized
     if coordinator_address is not None:
-        jax.distributed.initialize(coordinator_address=coordinator_address)
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return
+    try:
+        jax.distributed.initialize()  # auto-detect pod/SLURM/env cluster spec
+    except Exception:
+        # No cluster environment detected: genuine single-process run.
+        pass

@@ -263,9 +263,9 @@ class KinematicChain:
 
         Fixed-shape filtering: oversample by ``oversample_factor``, then take the
         first ``n`` non-colliding rows via a stable argsort on the collision mask.
-        If fewer than n valid rows exist the remainder are colliding rows (caller
-        can check the returned count). Parity target:
-        ``robot.sample_joint_angles_and_poses`` in
+        Raises if the oversampled batch has fewer than ``n`` collision-free rows
+        (increase ``oversample_factor`` — typical collision rates are a few %).
+        Parity target: ``robot.sample_joint_angles_and_poses`` in
         ``/root/reference/scripts/build_dataset.py:90-101``.
         """
         if not only_non_self_colliding:
@@ -274,6 +274,12 @@ class KinematicChain:
         m = n * oversample_factor
         q = self.sample_joint_angles(key, m, joint_limit_eps)
         colliding = self.config_self_collides(q)
+        n_clean = int(m - jnp.sum(colliding))
+        if n_clean < n:
+            raise ValueError(
+                f"only {n_clean}/{m} oversampled configs are collision-free (need {n}); "
+                f"raise oversample_factor (currently {oversample_factor})"
+            )
         order = jnp.argsort(colliding, stable=True)  # non-colliding (False) first
         q = q[order[:n]]
         return q, self.forward_kinematics(q)

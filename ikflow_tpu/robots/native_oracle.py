@@ -36,7 +36,12 @@ def _load_library() -> ctypes.CDLL:
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "fk_oracle.cpp")
+    # (Re)build when missing or stale — the .so is never committed (it is
+    # -march=native machine code), so every machine compiles its own.
+    if not os.path.exists(_LIB_PATH) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    ):
         _build_library()
     lib = ctypes.CDLL(_LIB_PATH)
     dp = ctypes.POINTER(ctypes.c_double)

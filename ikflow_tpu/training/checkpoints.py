@@ -85,7 +85,11 @@ def export_deploy(
     robot_name: str,
     global_step: Optional[int] = None,
 ) -> str:
-    """Write the deploy artifact: params + hparams + robot in one .npz."""
+    """Write the deploy artifact: params + hparams + robot in one .npz.
+
+    Returns the actual path written (np.savez appends '.npz' when missing)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     header = {
         "format_version": 1,

@@ -66,13 +66,16 @@ def _generate_split(
     while remaining > 0:
         key, sub = jax.random.split(key)
         q = robot.sample_joint_angles(sub, chunk_size, joint_limit_eps)
+        # FK on the fixed-shape chunk BEFORE filtering: one compiled program
+        # for every chunk (a post-filter FK would retrace per random row count).
+        pose = robot.forward_kinematics(q)
         if only_non_self_colliding:
-            colliding = robot.config_self_collides(q)
-            keep = np.asarray(jnp.logical_not(colliding))
+            keep = np.asarray(jnp.logical_not(robot.config_self_collides(q)))
             q_np = np.asarray(q)[keep]
+            pose_np = np.asarray(pose)[keep]
         else:
             q_np = np.asarray(q)
-        pose_np = np.asarray(robot.forward_kinematics(jnp.asarray(q_np)))
+            pose_np = np.asarray(pose)
         take = min(remaining, q_np.shape[0])
         qs.append(q_np[:take])
         ps.append(pose_np[:take])

@@ -107,6 +107,29 @@ class Trainer:
         self._step_fn = self._build_step()
         self._val_fn = None
 
+    def _schedule_step(self, opt_state, fallback: int) -> int:
+        """Step count the LR schedule actually sees.
+
+        The schedule lives inside the optimizer and advances with its internal
+        ``count`` — which restarts at 0 when a resume could not restore
+        opt_state — so logging LR(global_step) would diverge from the LR being
+        applied. Walk the optax state for the first ``count`` field."""
+
+        def find(state):
+            # optax states are NamedTuples; plain tuples also have a .count
+            # *method*, so test the field list, not hasattr.
+            if hasattr(state, "_fields") and "count" in state._fields:
+                return int(state.count)
+            if isinstance(state, (tuple, list)):
+                for s in state:
+                    c = find(s)
+                    if c is not None:
+                        return c
+            return None
+
+        c = find(opt_state)
+        return fallback if c is None else c
+
     # ------------------------------------------------------------------
     def _build_step(self):
         loss_fn, optimizer = self.loss_fn, self.optimizer
@@ -277,7 +300,7 @@ class Trainer:
             metrics = {
                 "tr/loss": last_loss,
                 "tr/loss_window_mean": float(mean_loss),
-                "tr/learning_rate": float(self.lr_schedule(step)),
+                "tr/learning_rate": float(self.lr_schedule(self._schedule_step(opt_state, step))),
                 "tr/batches_p_sec": steps_per_call / max(dt, 1e-9),
             }
             if step % max(cfg.log_every, steps_per_call) < steps_per_call:
@@ -296,6 +319,8 @@ class Trainer:
             from ikflow_tpu.training.checkpoints import save_checkpoint
 
             save_checkpoint(checkpoint_dir, step, params, opt_state)
+        last_metrics = dict(last_metrics)
+        last_metrics["step"] = step  # actual step reached (time budget may stop early)
         return params, last_metrics
 
     def fit(
@@ -332,7 +357,7 @@ class Trainer:
                 if not np.isfinite(metrics["tr/loss"]):
                     raise ValueError(f"loss is not finite at step {step}: {metrics['tr/loss']}")
                 dt = time.time() - t_window
-                metrics["tr/learning_rate"] = float(self.lr_schedule(step))
+                metrics["tr/learning_rate"] = float(self.lr_schedule(self._schedule_step(opt_state, step)))
                 metrics["tr/batches_p_sec"] = window_steps / max(dt, 1e-9)
                 self._log(step, metrics)
                 last_metrics = metrics
@@ -352,4 +377,6 @@ class Trainer:
             from ikflow_tpu.training.checkpoints import save_checkpoint
 
             save_checkpoint(checkpoint_dir, cfg.n_steps, params, opt_state)
+        last_metrics = dict(last_metrics)
+        last_metrics["step"] = cfg.n_steps
         return params, last_metrics
