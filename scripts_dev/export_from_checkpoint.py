@@ -1,0 +1,55 @@
+"""Fallback deploy export: restore the latest orbax checkpoint and write the
+.npz deploy artifact. Used by train_queue.sh when a watchdog kill landed
+between the trainer's final checkpoint and its --export step (the export then
+never ran, but the checkpoint is at most checkpoint_every steps old).
+
+Runs on CPU — no TPU tunnel contention with whatever is training next.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from ikflow_tpu.flow import FlowHyperParams, build_flow
+    from ikflow_tpu.robots import get_robot
+    from ikflow_tpu.training.checkpoints import export_deploy, restore_checkpoint
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt_dir", required=True)
+    ap.add_argument("--robot_name", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--nb_nodes", type=int, default=12)
+    ap.add_argument("--dim_latent_space", type=int, required=True)
+    args = ap.parse_args()
+
+    robot = get_robot(args.robot_name)
+    hp = FlowHyperParams()
+    hp.nb_nodes = args.nb_nodes
+    hp.dim_latent_space = args.dim_latent_space
+    flow = build_flow(hp, robot)
+    # Orbax restores to the sharding recorded at save time (TPU); on this CPU
+    # process we must hand it a CPU-resident template of the exact saved tree
+    # shape — {params, opt_state} as written by save_checkpoint.
+    from ikflow_tpu.training.optimizers import make_optimizer
+
+    template = flow.init(jax.random.PRNGKey(0))
+    opt_template = make_optimizer().init(template)
+    try:
+        restored, step = restore_checkpoint(
+            args.ckpt_dir, template={"params": template, "opt_state": opt_template}
+        )
+    except ValueError:
+        restored, step = restore_checkpoint(args.ckpt_dir, template={"params": template})
+    path = export_deploy(args.out, restored["params"], hp, robot.name, global_step=step)
+    print(f"exported {path} from checkpoint step {step}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,6 +1,8 @@
 #!/bin/bash
 # Sequential training queue for the non-flagship robots. Waits for a prior
 # supervisor PID to exit, then trains each robot under its own watchdog.
+# If a watchdog kill landed before the trainer's --export step, falls back to
+# exporting from the latest checkpoint (scripts_dev/export_from_checkpoint.py).
 # Usage: train_queue.sh <wait_pid>
 set -u
 WAIT_PID="${1:-}"
@@ -14,6 +16,17 @@ BASE=/root/.cache/ikflow_tpu/training_logs
 MODELS=/root/.cache/ikflow_tpu/models
 HERE="$(dirname "$0")"
 
+# export_or_fallback <run_dir> <robot> <nb_nodes> <dim_latent> <npz_name>
+export_or_fallback() {
+    local run_dir="$1" robot="$2" nb="$3" dim="$4" npz="$5"
+    if [ ! -f "$MODELS/$npz" ] && [ -d "$run_dir/checkpoints" ]; then
+        echo "=== $npz missing; exporting from latest checkpoint ==="
+        timeout 600 python "$HERE/export_from_checkpoint.py" \
+            --ckpt_dir "$run_dir/checkpoints" --robot_name "$robot" \
+            --nb_nodes "$nb" --dim_latent_space "$dim" --out "$MODELS/$npz"
+    fi
+}
+
 train_one() {
     local robot="$1" nb="$2" dim="$3" budget="$4" export_name="$5"
     echo "=== training $robot (nb_nodes=$nb dim=$dim budget=${budget}s) ==="
@@ -23,9 +36,11 @@ train_one() {
         --n_steps 1000000 --on_device_data --steps_per_call 500 --time_budget_s $((budget - 240)) \
         --eval_every 25000 --log_every 500 --checkpoint_every 25000 \
         --export "$MODELS/$export_name"
+    export_or_fallback "$BASE/${robot}_r1" "$robot" "$nb" "$dim" "$export_name"
 }
 
 # Panda post-training battery first (the flagship weights just landed).
+export_or_fallback "$BASE/panda_full_r1" panda 12 7 panda__full.npz
 if [ -f "$MODELS/panda__full.npz" ]; then
     echo "=== panda post-training eval ==="
     timeout 1500 python /root/repo/analysis/post_training_eval.py \
