@@ -23,7 +23,7 @@ from typing import Dict, List, Optional, Tuple
 
 import yaml
 
-from ikflow_tpu.config import MODELS_DIR
+from ikflow_tpu import config
 from ikflow_tpu.flow.params import FlowHyperParams
 from ikflow_tpu.robots import get_robot
 from ikflow_tpu.solver import IKFlowSolver
@@ -52,7 +52,9 @@ def resolve_weights_path(entry: Dict) -> Optional[str]:
     if wp.startswith("file://"):
         wp = wp[len("file://") :]
     if not os.path.isabs(wp):
-        wp = os.path.join(MODELS_DIR, wp)
+        # Read through the module so a redirected cache (tests, env overrides
+        # applied after import) is honored.
+        wp = os.path.join(config.MODELS_DIR, wp)
     return wp
 
 
@@ -79,7 +81,11 @@ def get_ik_solver(model_name: str, allow_uninitialized: bool = False) -> Tuple[I
             f"weights are for {header['robot_name']}, registry says {robot.name}"
         )
         solver.set_params(params)
-    elif not allow_uninitialized:
+    elif allow_uninitialized:
+        # Explicit opt-in: random init is intentional, so mark the solver
+        # usable (generate_* otherwise refuses to run unloaded weights).
+        solver.set_params(solver.params)
+    else:
         raise FileNotFoundError(
             f"weights for {model_name!r} not found at {weights!r}. Train one with "
             f"`ikflow-tpu train --robot_name {entry['robot_name']}` and export, or pass "

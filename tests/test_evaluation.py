@@ -56,3 +56,22 @@ def test_draw_latent_distributions():
         raise RuntimeError("should have asserted")
     except AssertionError:
         pass
+
+
+def test_limit_and_collision_wrappers_delegate():
+    """Module-level wrappers must agree exactly with the chain methods they
+    delegate to (single source of truth for limit semantics)."""
+    from ikflow_tpu.evaluation import calculate_joint_limits_exceeded, calculate_self_collisions
+
+    robot = get_robot("panda")
+    q = robot.sample_joint_angles(jax.random.PRNGKey(3), 128)
+    q = q.at[:8].add(10.0)  # push some configs far outside limits
+    np.testing.assert_array_equal(
+        np.asarray(calculate_joint_limits_exceeded(robot, q)),
+        np.asarray(robot.joint_limits_exceeded(q)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(calculate_self_collisions(robot, q)),
+        np.asarray(robot.config_self_collides(q)),
+    )
+    assert bool(np.asarray(calculate_joint_limits_exceeded(robot, q))[:8].all())

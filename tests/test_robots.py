@@ -143,3 +143,20 @@ def test_fk_deterministic():
     p1 = np.asarray(robot.forward_kinematics(q))
     p2 = np.asarray(robot.forward_kinematics(q))
     np.testing.assert_array_equal(p1, p2)
+
+
+def test_filtered_sampling_raises_on_oversample_shortfall():
+    """only_non_self_colliding with an insufficient oversample budget must
+    raise instead of silently returning colliding configs."""
+    robot = get_robot("panda")
+    key = jax.random.PRNGKey(7)
+    # Force a shortfall: ask for every row of a 1x oversampled batch to be
+    # collision-free; panda uniform sampling collides a few percent of the
+    # time, so some rows in 4096 are essentially guaranteed to collide.
+    try:
+        robot.sample_joint_angles_and_poses(
+            key, 4096, only_non_self_colliding=True, oversample_factor=1
+        )
+        raise AssertionError("expected ValueError on oversample shortfall")
+    except ValueError as e:
+        assert "oversample_factor" in str(e)

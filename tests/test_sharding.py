@@ -87,3 +87,11 @@ def test_graft_entry_compiles_and_dryrun():
     fn, args = mod.entry()
     jax.jit(fn).lower(*args).compile()
     mod.dryrun_multichip(8)
+
+
+def test_initialize_multihost_single_process_noop():
+    """Auto-detect path must not raise on a plain single-process machine."""
+    from ikflow_tpu.parallel.mesh import initialize_multihost
+
+    initialize_multihost()  # no cluster env -> silent no-op
+    assert jax.process_count() == 1
