@@ -62,11 +62,14 @@ def initialize_multihost(
     """Multi-host runtime init (DCN). Call before any jax op.
 
     With an explicit ``coordinator_address`` the cluster spec is passed
-    through. Without one, ``jax.distributed.initialize()`` auto-detects the
-    cluster (Cloud TPU pod metadata, SLURM, or JAX_* env vars); if no cluster
-    environment is present this is a single-process run and the call is a
-    no-op. Afterwards ``jax.devices()`` spans all hosts and the same 1-D data
-    mesh recipe applies — jit inserts cross-host collectives automatically.
+    through. Without one, auto-detection runs ONLY when a recognizable
+    cluster environment marker is present (SLURM, Cloud TPU pod, or JAX
+    coordinator env vars) — on a plain machine this is a silent no-op, and
+    on a marked cluster host an init failure surfaces instead of being
+    swallowed (a cluster that fails to initialize is a real error, not a
+    single-process run). Afterwards ``jax.devices()`` spans all hosts and the
+    same 1-D data mesh recipe applies — jit inserts cross-host collectives
+    automatically.
     """
     if jax.process_count() > 1:
         return  # already initialized
@@ -77,8 +80,15 @@ def initialize_multihost(
             process_id=process_id,
         )
         return
-    try:
-        jax.distributed.initialize()  # auto-detect pod/SLURM/env cluster spec
-    except Exception:
-        # No cluster environment detected: genuine single-process run.
-        pass
+    import os
+
+    markers = (
+        "JAX_COORDINATOR_ADDRESS",
+        "COORDINATOR_ADDRESS",
+        "SLURM_JOB_ID",
+        "TPU_WORKER_HOSTNAMES",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+    )
+    if not any(m in os.environ for m in markers):
+        return  # plain single-process machine: nothing to do
+    jax.distributed.initialize()  # auto-detect pod/SLURM/env cluster spec

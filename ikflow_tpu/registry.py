@@ -52,8 +52,9 @@ def resolve_weights_path(entry: Dict) -> Optional[str]:
     if wp.startswith("file://"):
         wp = wp[len("file://") :]
     if not os.path.isabs(wp):
-        # Read through the module so a redirected cache (tests, env overrides
-        # applied after import) is honored.
+        # Read through the module so a cache redirected by attribute
+        # reassignment (config.MODELS_DIR = ...) after import is honored.
+        # (IKFLOW_TPU_CACHE_DIR is read once at config-import time.)
         wp = os.path.join(config.MODELS_DIR, wp)
     return wp
 
@@ -81,14 +82,12 @@ def get_ik_solver(model_name: str, allow_uninitialized: bool = False) -> Tuple[I
             f"weights are for {header['robot_name']}, registry says {robot.name}"
         )
         solver.set_params(params)
-    elif allow_uninitialized:
-        # Explicit opt-in: random init is intentional, so mark the solver
-        # usable (generate_* otherwise refuses to run unloaded weights).
-        solver.set_params(solver.params)
-    else:
+    elif not allow_uninitialized:
         raise FileNotFoundError(
             f"weights for {model_name!r} not found at {weights!r}. Train one with "
             f"`ikflow-tpu train --robot_name {entry['robot_name']}` and export, or pass "
-            "allow_uninitialized=True for random weights."
+            "allow_uninitialized=True to build the solver without weights (generation "
+            "then additionally needs the per-call allow_uninitialized flag, as in the "
+            "reference's ikflow_solver.py:264)."
         )
     return solver, hp

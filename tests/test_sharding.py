@@ -89,9 +89,41 @@ def test_graft_entry_compiles_and_dryrun():
     mod.dryrun_multichip(8)
 
 
-def test_initialize_multihost_single_process_noop():
-    """Auto-detect path must not raise on a plain single-process machine."""
-    from ikflow_tpu.parallel.mesh import initialize_multihost
+def test_initialize_multihost_single_process_noop(monkeypatch):
+    """Without cluster env markers the auto-detect path must be a true no-op:
+    jax.distributed.initialize is never called (calling it on a plain machine
+    can block on coordinator connect or side-effect the whole session)."""
+    from ikflow_tpu.parallel import mesh
 
-    initialize_multihost()  # no cluster env -> silent no-op
+    for m in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "SLURM_JOB_ID",
+              "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(m, raising=False)
+
+    def _boom(*a, **k):
+        raise AssertionError("jax.distributed.initialize must not be called")
+
+    monkeypatch.setattr(jax.distributed, "initialize", _boom)
+    mesh.initialize_multihost()  # no cluster env -> silent no-op
     assert jax.process_count() == 1
+
+
+def test_initialize_multihost_marker_triggers_autodetect(monkeypatch):
+    """A cluster env marker routes into jax.distributed.initialize(), and
+    failures there surface instead of being swallowed."""
+    from ikflow_tpu.parallel import mesh
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize", lambda *a, **k: calls.append((a, k)))
+    monkeypatch.setenv("SLURM_JOB_ID", "123")
+    mesh.initialize_multihost()
+    assert calls == [((), {})]
+
+    def _fail(*a, **k):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", _fail)
+    try:
+        mesh.initialize_multihost()
+        raise AssertionError("expected the init failure to surface")
+    except RuntimeError as e:
+        assert "coordinator" in str(e)

@@ -203,6 +203,18 @@ def test_registry_listing_and_errors():
     solver, hp = get_ik_solver("panda_lite_tpm", allow_uninitialized=True)
     assert solver.robot.name == "panda"
     assert hp.nb_nodes == 6 and hp.dim_latent_space == 7
+    # Registry-level flag only tolerates the missing weights file; generating
+    # from random weights still needs the per-call opt-in (two distinct
+    # consents, matching the reference's ikflow_solver.py:264 flag).
+    y = np.zeros((2, 7), np.float32)
+    y[:, 3] = 1.0
+    try:
+        solver.generate_ik_solutions(y)
+        raise RuntimeError("should have asserted on unloaded weights")
+    except AssertionError:
+        pass
+    sols = solver.generate_ik_solutions(y, allow_uninitialized=True)
+    assert sols.shape == (2, 7)
 
 
 def test_fit_reports_actual_step_and_schedule_count_lr():
