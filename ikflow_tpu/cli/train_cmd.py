@@ -115,6 +115,11 @@ def run(args: argparse.Namespace) -> int:
         except FileNotFoundError:
             print(f"dataset not found; generating {args.dataset_size} samples on-device")
             dataset = build_dataset(robot, training_set_size=args.dataset_size)
+            # Persist so watchdog restarts / resumed runs skip regeneration
+            # (generation is minutes at the 2.5M default over a tunnel).
+            from ikflow_tpu.training.dataset import save_dataset
+
+            print(f"saved dataset to {save_dataset(dataset)}")
 
     ensure_cache_dirs()
     run_dir = args.run_dir or os.path.join(
