@@ -99,6 +99,29 @@ def main() -> int:
                 retry_capacities=(1.0, 0.25, 0.0625))
     timed_solve("exact_steps5_capped", repeat_counts=(1, 3, 10), n_opt_steps_max=5,
                 retry_capacities=(1.0, 0.25, 0.0625))
+
+    # 5. Pallas numerical equivalence on the REAL accelerator with trained
+    # weights. The test suite only exercises the fused kernel in interpret
+    # mode on CPU (tests/test_fleet.py); this is the hardware-lowering check.
+    if jax.default_backend() != "cpu":
+        nv = min(1024, targets.shape[0])
+        padded = solver.flow.pad_params_for_pallas(params)
+        zs = jax.random.normal(jax.random.fold_in(key, 20), (nv, solver.flow.D))
+        cond = jnp.concatenate(
+            [targets[:nv], jnp.zeros((nv, solver.flow.dim_cond - 7))], axis=1
+        )
+        q_xla = solver.flow.inverse(params, zs, cond)[0][:, : robot.ndof]
+        q_pl = solver.flow.inverse_fused(padded, zs, cond)[:, : robot.ndof]
+        from ikflow_tpu.lm import config_pose_errors as pose_errors
+
+        pe_x, _ = pose_errors(robot, robot.clamp_to_joint_limits(q_xla), targets[:nv])
+        pe_p, _ = pose_errors(robot, robot.clamp_to_joint_limits(q_pl), targets[:nv])
+        print(json.dumps({
+            "protocol": "pallas_vs_xla_numerics",
+            "max_abs_q_diff": float(jnp.max(jnp.abs(q_xla - q_pl))),
+            "mean_pos_err_mm_xla": round(1000 * float(jnp.mean(pe_x)), 4),
+            "mean_pos_err_mm_pallas": round(1000 * float(jnp.mean(pe_p)), 4),
+        }))
     return 0
 
 

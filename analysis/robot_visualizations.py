@@ -66,7 +66,7 @@ def latent_distribution_stats(solver, n_poses: int, n_sols: int, seed: int = 0):
     import jax.numpy as jnp
     import numpy as np
 
-    from ikflow_tpu.lm import pose_errors
+    from ikflow_tpu.lm import config_pose_errors as pose_errors
 
     robot = solver.robot
     kq, ks = jax.random.split(jax.random.PRNGKey(seed))

@@ -95,7 +95,7 @@ def main() -> int:
             ts.append(time.time() - t0)
         return float(np.mean(ts)), float(np.std(ts)), success
 
-    from ikflow_tpu.lm import pose_errors
+    from ikflow_tpu.lm import config_pose_errors as pose_errors
 
     for bi, n in enumerate(args.batch_sizes):
         targets = all_targets[:n]

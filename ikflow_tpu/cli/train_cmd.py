@@ -63,6 +63,14 @@ def add_parser(sub):
 
 
 def run(args: argparse.Namespace) -> int:
+    if args.data_parallel:
+        # Must run before ANY jax op initializes a backend. Marker-gated:
+        # silent no-op on a plain single-process machine, joins the cluster
+        # (after which jax.devices() spans all hosts) on SLURM/TPU-pod nodes.
+        from ikflow_tpu.parallel import initialize_multihost
+
+        initialize_multihost()
+
     import jax
 
     from ikflow_tpu.config import TRAINING_LOGS_DIR, ensure_cache_dirs

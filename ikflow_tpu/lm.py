@@ -91,13 +91,16 @@ def lm_step(
     return q_new
 
 
-def pose_errors(robot, q: jnp.ndarray, target_poses: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def config_pose_errors(robot, q: jnp.ndarray, target_poses: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(positional L2 error, quaternion-geodesic rotational error) per config.
-    Parity: ``IKFlowSolver._calculate_pose_error`` (``ikflow_solver.py:112-117``)."""
-    realized = robot.forward_kinematics(q)
-    pos_err = jnp.linalg.norm(realized[..., :3] - target_poses[..., :3], axis=-1)
-    rot_err = geodesic_distance(target_poses[..., 3:], realized[..., 3:])
-    return pos_err, rot_err
+    Parity: ``IKFlowSolver._calculate_pose_error`` (``ikflow_solver.py:112-117``).
+
+    Delegates to ``evaluation.solution_pose_errors`` so the grading semantics
+    live in one place; named distinctly from ``evaluation.pose_errors`` (which
+    compares two pose arrays, no FK) to avoid wrong-import bugs."""
+    from ikflow_tpu.evaluation import solution_pose_errors
+
+    return solution_pose_errors(robot, q, target_poses)
 
 
 def refine(

@@ -71,7 +71,11 @@ def initialize_multihost(
     same 1-D data mesh recipe applies — jit inserts cross-host collectives
     automatically.
     """
-    if jax.process_count() > 1:
+    # NOTE: must not touch jax.process_count()/jax.devices() here — querying
+    # them initializes the local XLA backend, and jax.distributed.initialize()
+    # raises if any backend is already initialized. is_initialized() only
+    # inspects the distributed client state.
+    if jax.distributed.is_initialized():
         return  # already initialized
     if coordinator_address is not None:
         jax.distributed.initialize(
@@ -82,13 +86,21 @@ def initialize_multihost(
         return
     import os
 
-    markers = (
+    env = os.environ
+    # A marker must indicate MULTI-process, not merely cluster tooling: dev
+    # images set TPU_WORKER_HOSTNAMES=localhost on single-host machines, and
+    # single-task SLURM jobs set SLURM_JOB_ID — neither is a pod.
+    coordinator_markers = (
         "JAX_COORDINATOR_ADDRESS",
         "COORDINATOR_ADDRESS",
-        "SLURM_JOB_ID",
-        "TPU_WORKER_HOSTNAMES",
         "MEGASCALE_COORDINATOR_ADDRESS",
     )
-    if not any(m in os.environ for m in markers):
+    n_tpu_hosts = len([h for h in env.get("TPU_WORKER_HOSTNAMES", "").split(",") if h.strip()])
+    is_cluster = (
+        any(env.get(m) for m in coordinator_markers)
+        or (env.get("SLURM_JOB_ID") and int(env.get("SLURM_NTASKS", "1")) > 1)
+        or n_tpu_hosts > 1
+    )
+    if not is_cluster:
         return  # plain single-process machine: nothing to do
     jax.distributed.initialize()  # auto-detect pod/SLURM/env cluster spec

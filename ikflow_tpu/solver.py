@@ -123,11 +123,11 @@ class IKFlowSolver:
     def _inverse_q(self, params, padded_params, latent, cond):
         """Flow inverse -> raw q slice, through the configured backend.
 
-        The Pallas path only lowers on real TPU backends; on CPU (tests, dev
-        boxes) it silently falls back to the jnp path rather than failing at
-        compile time.
+        The Pallas path only lowers on real TPU backends; on anything else
+        (CPU tests, dev boxes, GPU) it silently falls back to the jnp path
+        rather than failing at compile time.
         """
-        if self._use_pallas and jax.default_backend() != "cpu":
+        if self._use_pallas and jax.default_backend() == "tpu":
             q = self._flow.inverse_fused(padded_params, latent, cond)
         else:
             q, _ = self._flow.inverse(params, latent, cond)

@@ -163,6 +163,8 @@ class Trainer:
         ndof = robot.ndof
 
         def val(params, key, poses):  # poses (n_poses, 7)
+            from ikflow_tpu.evaluation import evaluate_solutions
+
             latents = jax.random.normal(key, (n_poses * m, flow.D))
             poses_t = jnp.repeat(poses, m, axis=0)
             cond = poses_t
@@ -174,20 +176,16 @@ class Trainer:
             sols = q[:, :ndof]
             out = {}
             for tag, s in (("val", sols), ("val_clamped", robot.clamp_to_joint_limits(sols))):
-                realized = robot.forward_kinematics(s)
-                l2 = jnp.linalg.norm(realized[:, :3] - poses_t[:, :3], axis=1)
-                from ikflow_tpu.math.quaternion import geodesic_distance
-
-                ang = geodesic_distance(realized[:, 3:], poses_t[:, 3:])
-                out[f"{tag}/l2_error_mm"] = 1000.0 * jnp.mean(l2)
-                out[f"{tag}/l2_error_mm_max"] = 1000.0 * jnp.max(l2)
-                out[f"{tag}/angular_error_deg"] = jnp.rad2deg(jnp.mean(ang))
-                out[f"{tag}/angular_error_deg_max"] = jnp.rad2deg(jnp.max(ang))
+                ev = evaluate_solutions(robot, poses_t, s)
+                out[f"{tag}/l2_error_mm"] = 1000.0 * jnp.mean(ev.pos_errors)
+                out[f"{tag}/l2_error_mm_max"] = 1000.0 * jnp.max(ev.pos_errors)
+                out[f"{tag}/angular_error_deg"] = jnp.rad2deg(jnp.mean(ev.rot_errors))
+                out[f"{tag}/angular_error_deg_max"] = jnp.rad2deg(jnp.max(ev.rot_errors))
                 out[f"{tag}/pct_joint_limits_exceeded"] = 100.0 * jnp.mean(
-                    robot.joint_limits_exceeded(s).astype(jnp.float32)
+                    ev.joint_limits_exceeded.astype(jnp.float32)
                 )
                 out[f"{tag}/pct_self_colliding"] = 100.0 * jnp.mean(
-                    robot.config_self_collides(s).astype(jnp.float32)
+                    ev.self_colliding.astype(jnp.float32)
                 )
             return out
 
@@ -272,18 +270,30 @@ class Trainer:
         stops at the first window boundary past the budget.
         """
         cfg = self.config
-        key = jax.random.PRNGKey(cfg.seed)
+        # Fold the resume step into the key so a restarted run continues a
+        # fresh batch/noise stream instead of replaying the one from step 0.
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), start_step)
         opt_state = self.optimizer.init(params) if opt_state is None else opt_state
         # The scan-step program donates params/opt_state buffers for in-place
         # updates; copy at entry so the caller's arrays stay valid.
         params = jax.tree_util.tree_map(jnp.copy, params)
         opt_state = jax.tree_util.tree_map(jnp.copy, opt_state)
-        samples = jnp.asarray(dataset.samples_tr)
-        endpoints = jnp.asarray(dataset.endpoints_tr)
+        samples = np.asarray(dataset.samples_tr)
+        endpoints = np.asarray(dataset.endpoints_tr)
         if self.mesh is not None:
+            # The leading axis must divide evenly over the mesh; pad with
+            # wrapped rows (never sampled: batch indices stay < n_train below).
+            n_dev = self.mesh.devices.size
+            padded_n = mesh_lib.pad_to_multiple(samples.shape[0], n_dev)
+            if padded_n != samples.shape[0]:
+                extra = padded_n - samples.shape[0]
+                samples = np.concatenate([samples, samples[:extra]], axis=0)
+                endpoints = np.concatenate([endpoints, endpoints[:extra]], axis=0)
             params = mesh_lib.replicate(self.mesh, params)
             opt_state = mesh_lib.replicate(self.mesh, opt_state)
             samples, endpoints = mesh_lib.shard_batch(self.mesh, samples, endpoints)
+        else:
+            samples, endpoints = jnp.asarray(samples), jnp.asarray(endpoints)
 
         many = self._build_scan_steps(dataset.n_train, steps_per_call)
         last_metrics: Dict = {}
@@ -333,13 +343,22 @@ class Trainer:
     ):
         """Run the training loop; returns (params, final metrics dict)."""
         cfg = self.config
-        key = jax.random.PRNGKey(cfg.seed)
+        # Fold the resume step into both streams so a restarted run continues
+        # with fresh batches/noise instead of replaying the step-0 sequence.
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), start_step)
         opt_state = self.optimizer.init(params) if opt_state is None else opt_state
         if self.mesh is not None:
+            assert cfg.batch_size % self.mesh.devices.size == 0, (
+                f"batch_size ({cfg.batch_size}) must be divisible by the mesh "
+                f"size ({self.mesh.devices.size}) to shard the batch axis"
+            )
             params = mesh_lib.replicate(self.mesh, params)
             opt_state = mesh_lib.replicate(self.mesh, opt_state)
 
-        batches = iterate_batches(dataset, cfg.batch_size, jax.random.PRNGKey(cfg.seed + 1))
+        batches = iterate_batches(
+            dataset, cfg.batch_size,
+            jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), start_step),
+        )
         last_metrics: Dict = {}
         t_window = time.time()
         window_steps = 0

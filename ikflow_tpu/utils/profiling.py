@@ -47,8 +47,13 @@ def timing_section(name: str, times: Optional[SectionTimes] = None, sync: bool =
     finally:
         if sync:
             import jax
+            import jax.numpy as jnp
 
-            jax.block_until_ready(jax.device_put(0.0))
+            # Block on a trivial jitted COMPUTATION (not a transfer): the TPU
+            # compute stream is FIFO per device, so a computation enqueued now
+            # completes only after all previously dispatched programs. A bare
+            # device_put rides the transfer stream and gives no such ordering.
+            jax.block_until_ready(jax.jit(lambda: jnp.zeros(()))())
         (times or GLOBAL_TIMES).add(name, time.perf_counter() - t0)
 
 

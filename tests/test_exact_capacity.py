@@ -26,7 +26,7 @@ def test_capped_tiers_match_contract_when_capacity_sufficient():
         retry_capacities=(1.0, 1.0, 0.5),
     )
     assert float(np.asarray(valids).mean()) > 0.95
-    from ikflow_tpu.lm import pose_errors
+    from ikflow_tpu.lm import config_pose_errors as pose_errors
 
     pe, re_ = pose_errors(robot, sols, targets)
     v = np.asarray(valids)

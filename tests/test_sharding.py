@@ -114,7 +114,22 @@ def test_initialize_multihost_marker_triggers_autodetect(monkeypatch):
 
     calls = []
     monkeypatch.setattr(jax.distributed, "initialize", lambda *a, **k: calls.append((a, k)))
+
+    # Single-process-shaped markers must NOT trigger init: a dev image sets
+    # TPU_WORKER_HOSTNAMES=localhost, and a 1-task SLURM job sets SLURM_JOB_ID.
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
     monkeypatch.setenv("SLURM_JOB_ID", "123")
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    mesh.initialize_multihost()
+    assert calls == []
+
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    mesh.initialize_multihost()
+    assert calls == [((), {})]
+
+    calls.clear()
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
     mesh.initialize_multihost()
     assert calls == [((), {})]
 

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ikflow_tpu.flow import tiny_model_params
-from ikflow_tpu.lm import lm_step, pose_errors, refine
+from ikflow_tpu.lm import config_pose_errors as pose_errors, lm_step, refine
 from ikflow_tpu.robots import get_robot
 from ikflow_tpu.solver import IKFlowSolver, draw_latent
 
