@@ -31,6 +31,10 @@ def add_parser(sub):
                    help="runtime-vs-depth sweep (parity: scripts/evaluate_inference_speed.py)")
     p.add_argument("--scaling", action="store_true",
                    help="1-device vs all-devices exact-IK scaling efficiency")
+    p.add_argument("--megabatch", type=int, default=None,
+                   help="streaming exact-IK over N poses in fixed-shape chunks (serving scale)")
+    p.add_argument("--chunk_size", type=int, default=8192,
+                   help="poses per compiled chunk for --megabatch")
     p.add_argument("--compare", action="store_true",
                    help="4-method comparison: flow-approx / native-LM / flow+LM exact / "
                         "native-LM seeded by flow (parity: scripts/benchmark_runtime.py)")
@@ -170,6 +174,38 @@ def run(args: argparse.Namespace) -> int:
 
     if args.compare:
         return _run_compare(args, solver)
+
+    if args.megabatch:
+        # Serving-scale streaming solve (BASELINE.json config 4 shape).
+        import time as _time
+
+        from ikflow_tpu.parallel.fleet import solve_exact_megabatch
+
+        kp = jax.random.PRNGKey(args.seed)
+        poses = np.asarray(robot.forward_kinematics(
+            robot.sample_joint_angles(kp, args.megabatch, joint_limit_eps=0.02)
+        ))
+        # Compile + warm on one chunk before timing the stream.
+        solve_exact_megabatch(
+            solver, poses[: args.chunk_size], chunk_size=args.chunk_size,
+            repeat_counts=tuple(args.repeat_counts), n_opt_steps_max=args.n_opt_steps_max,
+            pos_error_threshold=EXACT_POS_TOL, rot_error_threshold=EXACT_ROT_TOL,
+            allow_uninitialized=args.uninitialized,
+        )
+        t0 = _time.time()
+        _, valids = solve_exact_megabatch(
+            solver, poses, chunk_size=args.chunk_size, progress=True,
+            repeat_counts=tuple(args.repeat_counts), n_opt_steps_max=args.n_opt_steps_max,
+            pos_error_threshold=EXACT_POS_TOL, rot_error_threshold=EXACT_ROT_TOL,
+            allow_uninitialized=args.uninitialized,
+        )
+        sec = _time.time() - t0
+        print(json.dumps({
+            "mode": "exact_megabatch", "n": args.megabatch, "chunk_size": args.chunk_size,
+            "seconds": round(sec, 3), "sols_per_s": round(args.megabatch / sec, 1),
+            "valid_fraction": round(float(valids.mean()), 4),
+        }))
+        return 0
 
     key = jax.random.PRNGKey(args.seed)
     rows = []

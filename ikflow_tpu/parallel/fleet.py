@@ -48,6 +48,51 @@ def solve_exact_sharded(
     return sols[:n], valids[:n]
 
 
+def solve_exact_megabatch(
+    solver,
+    target_poses,
+    chunk_size: int = 8192,
+    mesh=None,
+    key: Optional[jax.Array] = None,
+    progress: bool = False,
+    **solve_kwargs,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact-IK over an arbitrarily large pose set by streaming fixed-shape
+    chunks through ONE compiled tier program.
+
+    The 100k-poses-at-scale serving shape (BASELINE.json config 4): a single
+    jit over 100k poses x 10 repeat tiles would hold ~1M x 1024-wide subnet
+    activations live in HBM, so instead the pose stream is cut into
+    ``chunk_size`` pieces, each padded to exactly chunk_size (constant shape =
+    one compile, reused for every chunk including the ragged last one) and
+    sharded over the mesh. Results land in preallocated host arrays —
+    device memory stays bounded by one chunk regardless of n.
+    """
+    mesh = mesh or make_mesh()
+    key = key if key is not None else jax.random.PRNGKey(0)
+    target_poses = np.asarray(target_poses)
+    n = target_poses.shape[0]
+    sols_out = np.zeros((n, solver.ndof), dtype=np.float32)
+    valid_out = np.zeros((n,), dtype=bool)
+    for start in range(0, n, chunk_size):
+        chunk = target_poses[start : start + chunk_size]
+        m = chunk.shape[0]
+        if m < chunk_size:  # pad ragged tail to keep the compiled shape
+            chunk = np.concatenate(
+                [chunk, np.broadcast_to(chunk[:1], (chunk_size - m, 7))], axis=0
+            )
+        s, v = solve_exact_sharded(
+            solver, jnp.asarray(chunk), mesh=mesh,
+            key=jax.random.fold_in(key, start), **solve_kwargs,
+        )
+        sols_out[start : start + m] = np.asarray(s)[:m]
+        valid_out[start : start + m] = np.asarray(v)[:m]
+        if progress:
+            done = min(start + chunk_size, n)
+            print(f"  megabatch: {done}/{n} poses ({100 * done / n:.0f}%)", flush=True)
+    return sols_out, valid_out
+
+
 def scaling_efficiency(
     solver,
     n_poses: int = 1024,

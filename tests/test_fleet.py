@@ -25,6 +25,28 @@ def test_solve_exact_sharded_pads_and_matches_shapes():
     assert sols.shape == (37, 7) and valids.shape == (37,)
 
 
+def test_solve_exact_megabatch_streams_ragged_chunks():
+    """Megabatch streaming: ragged tail padded to the compiled chunk shape,
+    results written back at the right offsets, valid solutions actually valid."""
+    from ikflow_tpu.lm import config_pose_errors
+    from ikflow_tpu.parallel.fleet import solve_exact_megabatch
+
+    hp = tiny_model_params()
+    hp.dim_latent_space = 8
+    solver = IKFlowSolver(hp, get_robot("panda"), seed=0)
+    robot = solver.robot
+    poses = robot.forward_kinematics(robot.sample_joint_angles(jax.random.PRNGKey(0), 50))
+    sols, valids = solve_exact_megabatch(
+        solver, poses, chunk_size=16, key=jax.random.PRNGKey(1),
+        repeat_counts=(2,), n_opt_steps_max=25, allow_uninitialized=True,
+    )
+    assert sols.shape == (50, 7) and valids.shape == (50,)
+    assert valids.dtype == bool and valids.any(), "no pose converged with a generous budget"
+    pos_err, rot_err = config_pose_errors(robot, jnp.asarray(sols[valids]), poses[valids])
+    assert float(jnp.max(pos_err)) < 1e-3 + 1e-6
+    assert float(jnp.max(rot_err)) < 0.1 + 1e-6
+
+
 def test_scaling_harness_rows():
     from ikflow_tpu.parallel.fleet import scaling_efficiency
 
