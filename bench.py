@@ -121,13 +121,25 @@ def main() -> int:
     median_s = per_solve_s
     sols_per_s = N_POSES / median_s
 
+    # Single-pose p50 latency (the BASELINE.json "p50 latency per target
+    # pose" axis): same differencing methodology on a 1-pose batch.
+    one = targets[:1]
+    run1_small = jax.jit(lambda p, t, k: chained(p, t, k, k_small))
+    run1_large = jax.jit(lambda p, t, k: chained(p, t, k, k_large))
+    float(run1_small(solver.params, one, ks)[0])
+    float(run1_large(solver.params, one, ks)[0])
+    t1s = timed(lambda p, t, k: run1_small(p, one, k))
+    t1l = timed(lambda p, t, k: run1_large(p, one, k))
+    single_pose_s = max(t1l - t1s, 1e-9) / (k_large - k_small)
+
     result = {
         "metric": "exact_ik_solutions_per_s_per_chip",
         "value": round(sols_per_s, 1),
-        "unit": "solutions/s/chip (n=1000, tiers (1,3,10), 3 LM steps, 1mm/0.572deg)",
+        "unit": f"solutions/s/chip (n={N_POSES}, tiers (1,3,10), 3 LM steps, 1mm/0.572deg)",
         "vs_baseline": round(sols_per_s / BASELINE_SOLS_PER_S, 3),
         "valid_fraction": round(valid_count / N_POSES, 4),
         "p50_latency_ms_per_batch": round(1000 * median_s, 2),
+        "p50_single_pose_latency_ms": round(1000 * single_pose_s, 3),
         "compile_s": round(compile_s, 1),
         "weights": "trained" if weights_loaded else "random(untrained)",
         "retry_capacities": list(capacities) if capacities else "full",
