@@ -10,13 +10,7 @@ Run on the accelerator: python analysis/inference_optimization.py
 """
 
 from __future__ import annotations
-
-# Make the repo root importable when run as `python analysis/<script>.py`
-# from anywhere (sys.path[0] is the script dir, not the repo root).
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo-root sys.path bootstrap)
 
 import argparse
 import json

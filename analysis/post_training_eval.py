@@ -10,13 +10,7 @@ Usage: python analysis/post_training_eval.py --weights ~/.cache/ikflow_tpu/model
 """
 
 from __future__ import annotations
-
-# Make the repo root importable when run as `python analysis/<script>.py`
-# from anywhere (sys.path[0] is the script dir, not the repo root).
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo-root sys.path bootstrap)
 
 import argparse
 import json
@@ -103,7 +97,8 @@ def main() -> int:
     # 5. Pallas numerical equivalence on the REAL accelerator with trained
     # weights. The test suite only exercises the fused kernel in interpret
     # mode on CPU (tests/test_fleet.py); this is the hardware-lowering check.
-    if jax.default_backend() != "cpu":
+    # TPU-only: the kernel's VMEM block specs cannot lower on CPU/GPU.
+    if jax.default_backend() == "tpu":
         nv = min(1024, targets.shape[0])
         padded = solver.flow.pad_params_for_pallas(params)
         zs = jax.random.normal(jax.random.fold_in(key, 20), (nv, solver.flow.D))

@@ -15,13 +15,7 @@ Run: python analysis/robot_visualizations.py [--model_name ...] [--robots ...]
 """
 
 from __future__ import annotations
-
-# Make the repo root importable when run as `python analysis/<script>.py`
-# from anywhere (sys.path[0] is the script dir, not the repo root).
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo-root sys.path bootstrap)
 
 import argparse
 import os
@@ -75,21 +69,21 @@ def latent_distribution_stats(solver, n_poses: int, n_sols: int, seed: int = 0):
     )
     tiled = jnp.repeat(targets, n_sols, axis=0)
     rows = []
-    for dist in ("gaussian", "uniform"):
-        for scale in (0.25, 0.5, 0.75, 1.0, 1.5):
-            sols = solver.generate_ik_solutions(
-                tiled,
-                latent_distribution=dist,
-                latent_scale=scale,
-                key=jax.random.fold_in(ks, hash((dist, scale)) % (2**31)),
-                allow_uninitialized=True,
-            )
-            pos_err, rot_err = pose_errors(robot, sols, tiled)
-            rows.append(
-                (dist, scale,
-                 float(1000.0 * np.mean(np.asarray(pos_err))),
-                 float(np.degrees(np.mean(np.asarray(rot_err)))))
-            )
+    cells = [(d, s) for d in ("gaussian", "uniform") for s in (0.25, 0.5, 0.75, 1.0, 1.5)]
+    for cell_idx, (dist, scale) in enumerate(cells):
+        sols = solver.generate_ik_solutions(
+            tiled,
+            latent_distribution=dist,
+            latent_scale=scale,
+            key=jax.random.fold_in(ks, cell_idx),
+            allow_uninitialized=True,
+        )
+        pos_err, rot_err = pose_errors(robot, sols, tiled)
+        rows.append(
+            (dist, scale,
+             float(1000.0 * np.mean(np.asarray(pos_err))),
+             float(np.degrees(np.mean(np.asarray(rot_err)))))
+        )
     return rows
 
 

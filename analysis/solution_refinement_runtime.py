@@ -18,13 +18,7 @@ Run: python analysis/solution_refinement_runtime.py [--model_name ...]
 """
 
 from __future__ import annotations
-
-# Make the repo root importable when run as `python analysis/<script>.py`
-# from anywhere (sys.path[0] is the script dir, not the repo root).
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo-root sys.path bootstrap)
 
 import argparse
 import pickle
@@ -85,14 +79,17 @@ def main() -> int:
             "pct_success": np.zeros(len(args.batch_sizes)),
         }
 
-    def timed(fn, k):
-        # One untimed call first (jit compile / library warmup).
-        fn(0)
+    def timed(solve_fn, grade_fn, k):
+        """Time ONLY the solve (every method pays just its own blocking solve
+        inside the window); success grading runs after the clock stops.
+        One untimed call first (jit compile / library warmup)."""
+        grade_fn(solve_fn(0))
         ts, success = [], 0.0
         for i in range(k):
             t0 = time.time()
-            success = fn(i + 1)
+            out = solve_fn(i + 1)
             ts.append(time.time() - t0)
+            success = grade_fn(out)
         return float(np.mean(ts)), float(np.std(ts)), success
 
     from ikflow_tpu.lm import config_pose_errors as pose_errors
@@ -100,16 +97,19 @@ def main() -> int:
     for bi, n in enumerate(args.batch_sizes):
         targets = all_targets[:n]
 
-        def run_approx(i):
+        def solve_approx(i):
             sols = solver.generate_ik_solutions(
                 targets, key=jax.random.PRNGKey(100 + i), allow_uninitialized=True
             )
             sols.block_until_ready()
+            return sols
+
+        def grade_approx(sols):
             pos_err, rot_err = pose_errors(robot, sols, targets)
             ok = (np.asarray(pos_err) < args.pos_tol) & (np.asarray(rot_err) < args.rot_tol)
             return float(ok.mean())
 
-        def run_tpu_lm(i):
+        def solve_tpu_lm(i):
             sols, valids = solver.generate_exact_ik_solutions(
                 targets,
                 pos_error_threshold=args.pos_tol,
@@ -118,9 +118,11 @@ def main() -> int:
                 allow_uninitialized=True,
             )
             sols.block_until_ready()
-            return float(np.asarray(valids).mean())
+            return valids
 
-        def run_native_lm(i):
+        def solve_native_lm(i):
+            # Seed generation is part of this method's cost (the notebook's
+            # klampt/TRAC-IK runs are IKFlow-seeded too).
             seeds = solver.generate_ik_solutions(
                 targets, key=jax.random.PRNGKey(300 + i), allow_uninitialized=True
             )
@@ -128,13 +130,16 @@ def main() -> int:
                 np.asarray(targets, np.float64), np.asarray(seeds, np.float64),
                 max_iters=10, pos_tol=args.pos_tol, rot_tol=args.rot_tol,
             )
-            return float(valid.mean())
+            return valid
 
-        runners = {"approx": run_approx, "tpu_lm": run_tpu_lm}
+        runners = {
+            "approx": (solve_approx, grade_approx),
+            "tpu_lm": (solve_tpu_lm, lambda v: float(np.asarray(v).mean())),
+        }
         if oracle:
-            runners["native_lm"] = run_native_lm
-        for s, fn in runners.items():
-            mean, std, pct = timed(fn, args.k)
+            runners["native_lm"] = (solve_native_lm, lambda v: float(v.mean()))
+        for s, (solve_fn, grade_fn) in runners.items():
+            mean, std, pct = timed(solve_fn, grade_fn, args.k)
             data[s]["runtimes"][bi] = mean
             data[s]["stds"][bi] = std
             data[s]["pct_success"][bi] = pct

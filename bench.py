@@ -122,14 +122,13 @@ def main() -> int:
     sols_per_s = N_POSES / median_s
 
     # Single-pose p50 latency (the BASELINE.json "p50 latency per target
-    # pose" axis): same differencing methodology on a 1-pose batch.
+    # pose" axis): same differencing methodology on a 1-pose batch. jit
+    # retraces run_small/run_large for the (1, 7) shape automatically.
     one = targets[:1]
-    run1_small = jax.jit(lambda p, t, k: chained(p, t, k, k_small))
-    run1_large = jax.jit(lambda p, t, k: chained(p, t, k, k_large))
-    float(run1_small(solver.params, one, ks)[0])
-    float(run1_large(solver.params, one, ks)[0])
-    t1s = timed(lambda p, t, k: run1_small(p, one, k))
-    t1l = timed(lambda p, t, k: run1_large(p, one, k))
+    float(run_small(solver.params, one, ks)[0])
+    float(run_large(solver.params, one, ks)[0])
+    t1s = timed(lambda p, t, k: run_small(p, one, k))
+    t1l = timed(lambda p, t, k: run_large(p, one, k))
     single_pose_s = max(t1l - t1s, 1e-9) / (k_large - k_small)
 
     result = {

@@ -92,6 +92,7 @@ class NativeFkOracle:
             lib.fk_model_create(n, _as_c(R), _as_c(t), _as_c(axes),
                                 types.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
         )
+        assert self._model, f"fk_model_create rejected the chain (ndof > FK_MAX_NDOF?): {chain.name}"
         assert lib.fk_model_ndof(self._model) == chain.ndof
 
     def __del__(self):

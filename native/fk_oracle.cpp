@@ -22,6 +22,11 @@ extern "C" {
 
 enum JointType { JT_REVOLUTE = 0, JT_PRISMATIC = 1, JT_FIXED = 2 };
 
+// Stack-buffer bound for per-rollout scratch (rollout_one runs twice per LM
+// iteration per pose inside OpenMP loops; heap allocation there causes
+// allocator contention across threads). All supported arms have ndof <= 10.
+#define FK_MAX_NDOF 32
+
 struct FkModel {
   int n_joints;
   int ndof;
@@ -42,6 +47,7 @@ FkModel* fk_model_create(int n_joints, const double* origin_R, const double* ori
   m->ndof = 0;
   for (int i = 0; i < n_joints; i++)
     if (type[i] != JT_FIXED) m->ndof++;
+  if (m->ndof > FK_MAX_NDOF) { delete m; return nullptr; }
   return m;
 }
 
@@ -96,9 +102,9 @@ inline void R_to_quat(const double* R, double* q) {
 void rollout_one(const FkModel* m, const double* q, double* out_R, double* out_p, double* jac) {
   double R[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};
   double p[3] = {0, 0, 0};
-  std::vector<double> world_axes(3 * m->ndof);
-  std::vector<double> world_origins(3 * m->ndof);
-  std::vector<int> joint_kind(m->ndof);
+  double world_axes[3 * FK_MAX_NDOF];
+  double world_origins[3 * FK_MAX_NDOF];
+  int joint_kind[FK_MAX_NDOF];
   int qi = 0;
   double tmpR[9], tv[3];
   for (int j = 0; j < m->n_joints; j++) {

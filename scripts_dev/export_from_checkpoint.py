@@ -7,13 +7,7 @@ Runs on CPU — no TPU tunnel contention with whatever is training next.
 """
 
 from __future__ import annotations
-
-# Make the repo root importable when run as `python analysis/<script>.py`
-# from anywhere (sys.path[0] is the script dir, not the repo root).
-import os as _os
-import sys as _sys
-
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import _pathfix  # noqa: F401  (repo-root sys.path bootstrap)
 
 import argparse
 
