@@ -51,6 +51,10 @@ def main() -> int:
         "IKFLOW_TPU_BENCH_WEIGHTS", os.path.join(MODELS_DIR, "panda__full.npz")
     )
     use_pallas = os.environ.get("IKFLOW_TPU_BENCH_PALLAS", "0") == "1"
+    # bf16 hidden matmuls on the MXU for the flow-inverse seed pass. Exact-IK
+    # validity is insensitive to seed precision (the LM refinement runs f32 and
+    # corrects the seeds), so this trades nothing measurable for MXU rate.
+    hp.bf16_hidden = os.environ.get("IKFLOW_TPU_BENCH_BF16", "0") == "1"
     solver = IKFlowSolver(hp, robot, seed=0, use_pallas=use_pallas)
     weights_loaded = False
     if os.path.exists(weights_path):
@@ -142,7 +146,7 @@ def main() -> int:
         "compile_s": round(compile_s, 1),
         "weights": "trained" if weights_loaded else "random(untrained)",
         "retry_capacities": list(capacities) if capacities else "full",
-        "backend": "pallas" if use_pallas else "xla",
+        "backend": ("pallas" if use_pallas else "xla") + ("+bf16" if hp.bf16_hidden else ""),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
