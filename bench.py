@@ -125,6 +125,29 @@ def main() -> int:
     median_s = per_solve_s
     sols_per_s = N_POSES / median_s
 
+    # Approximate-IK throughput (the reference's evaluate_inference_speed
+    # axis: one flow-inverse + clamp per solution, no refinement), same
+    # chained-scan differencing on the same N_POSES batch.
+    def chained_approx(params, poses, key0, iters):
+        def body(carry, i):
+            k, acc = carry
+            k = jax.random.fold_in(k, i)
+            cond = solver._conditional(poses + acc * 1e-30)
+            latent = jax.random.normal(k, (N_POSES, solver.network_width), jnp.float32)
+            aux = solver._padded_params if solver._use_pallas else params
+            q = solver._inverse_q(params, aux, latent, cond)
+            sols = robot.clamp_to_joint_limits(q[:, : robot.ndof])
+            return (k, jnp.sum(sols) * 1e-6), None
+        (_, acc), _ = jax.lax.scan(body, (key0, jnp.float32(0.0)), jnp.arange(iters))
+        return acc, jnp.zeros(())
+
+    ka_small = jax.jit(lambda p, t, k: chained_approx(p, t, k, 8 * k_small))
+    ka_large = jax.jit(lambda p, t, k: chained_approx(p, t, k, 8 * k_large))
+    float(ka_small(solver.params, targets, ks)[0])
+    float(ka_large(solver.params, targets, ks)[0])
+    approx_s = max(timed(ka_large) - timed(ka_small), 1e-9) / (8 * (k_large - k_small))
+    approx_sols_per_s = N_POSES / approx_s
+
     # Single-pose p50 latency (the BASELINE.json "p50 latency per target
     # pose" axis): same differencing methodology on a 1-pose batch. jit
     # retraces run_small/run_large for the (1, 7) shape automatically.
@@ -142,6 +165,7 @@ def main() -> int:
         "vs_baseline": round(sols_per_s / BASELINE_SOLS_PER_S, 3),
         "valid_fraction": round(valid_count / N_POSES, 4),
         "p50_latency_ms_per_batch": round(1000 * median_s, 2),
+        "approx_ik_solutions_per_s": round(approx_sols_per_s, 1),
         "p50_single_pose_latency_ms": round(1000 * single_pose_s, 3),
         "compile_s": round(compile_s, 1),
         "weights": "trained" if weights_loaded else "random(untrained)",
