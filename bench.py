@@ -7,19 +7,27 @@ n=1000 target poses, retry tiers (1, 3, 10), <=3 LM steps per tier,
 tolerance 1 mm position / 0.01 rad rotation. Baseline: the reference's
 recorded CUDA total of 0.236 s for 1000 poses -> 4237 solutions/s.
 
+Convergence is first-class: the reference's protocol solves essentially all
+poses, so the timed configuration must too. Retry-tier capacities are derived
+from a *measured* uncapped probe run (2x headroom over the observed per-tier
+miss rates), never assumed; the resulting ``valid_fraction`` is reported and
+the capacity optimization is only kept if it preserves valid_fraction.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Extra context fields (valid_fraction, p50 latency, compile time) are included
 in the same object.
 
 Weights: uses the trained deploy artifact for the flagship Panda model when
-present in the models cache (or $IKFLOW_TPU_BENCH_WEIGHTS); otherwise runs the
-same computation with random weights (identical FLOPs/timing; validity is then
-seed-starved and reported as-is).
+present in the models cache or the repo-shipped models dir (or
+$IKFLOW_TPU_BENCH_WEIGHTS); otherwise runs the same computation with random
+weights (identical FLOPs/timing; validity is then seed-starved and reported
+as-is).
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -38,7 +46,7 @@ TIMED_REPS = 5
 
 
 def main() -> int:
-    from ikflow_tpu.config import MODELS_DIR
+    from ikflow_tpu.config import MODEL_SEARCH_DIRS
     from ikflow_tpu.flow import FlowHyperParams
     from ikflow_tpu.robots import get_robot
     from ikflow_tpu.solver import IKFlowSolver
@@ -47,9 +55,15 @@ def main() -> int:
     hp.dim_latent_space = 7  # flagship panda__full architecture
     robot = get_robot("panda")
 
-    weights_path = os.environ.get(
-        "IKFLOW_TPU_BENCH_WEIGHTS", os.path.join(MODELS_DIR, "panda__full.npz")
-    )
+    weights_path = os.environ.get("IKFLOW_TPU_BENCH_WEIGHTS")
+    if not weights_path:
+        for d in MODEL_SEARCH_DIRS:
+            cand = os.path.join(d, "panda__full.npz")
+            if os.path.exists(cand):
+                weights_path = cand
+                break
+        else:
+            weights_path = os.path.join(MODEL_SEARCH_DIRS[0], "panda__full.npz")
     use_pallas = os.environ.get("IKFLOW_TPU_BENCH_PALLAS", "0") == "1"
     # bf16 hidden matmuls on the MXU for the flow-inverse seed pass. Exact-IK
     # validity is insensitive to seed precision (the LM refinement runs f32 and
@@ -70,36 +84,51 @@ def main() -> int:
         robot.sample_joint_angles(kq, N_POSES, joint_limit_eps=0.02)
     )
 
-    # Timing methodology: the dev/TPU tunnel makes per-call host timing
-    # unreliable (dispatch is asynchronous and host fetches pay tunnel RTT), so
-    # K full solves are chained inside ONE jitted lax.scan with a genuine data
-    # dependency between iterations (targets perturbed by a sub-epsilon
-    # function of the previous result), and a single scalar is fetched at the
-    # end. Per-solve time = (t_total - t_rtt) / K, with t_rtt measured by a
-    # K=1 run... simpler: time K and 2K runs and use the difference, which
-    # cancels constant tunnel/dispatch overhead exactly.
-    # With a trained flow only a few % of poses miss tier 1, so the retry tiers
-    # run capacity-capped (the fixed-shape analog of the reference's dynamic
-    # batch shrinking at ikflow_solver.py:389); with random weights everything
-    # retries full-width.
-    capacities = (1.0, 0.25, 0.0625) if weights_loaded else None
+    compile_s = 0.0
+
+    def exact_args(poses, k, capacities, tier_counts=False):
+        aux = solver._padded_params if solver._use_pallas else solver.params
+        return solver._exact_impl(
+            solver.params, aux, poses, k, REPEAT_COUNTS, POS_TOL, ROT_TOL,
+            N_OPT_STEPS, 1e-4, 1.0, capacities, return_tier_counts=tier_counts,
+        )
+
+    # ---- Probe: one uncapped solve measuring per-tier convergence. The retry
+    # capacities for the timed run are derived from these MEASURED miss rates
+    # (2x headroom), so the capacity optimization can never silently abandon
+    # poses the way a hardcoded capacity schedule could.
+    probe = jax.jit(lambda k: exact_args(targets, k, None, tier_counts=True))
+    t0 = time.time()
+    _, probe_valids, tier_counts = probe(ks)
+    tier_counts = np.asarray(tier_counts)
+    compile_s += time.time() - t0
+    uncapped_valid_fraction = float(np.mean(np.asarray(probe_valids)))
+
+    capacities = None
+    if weights_loaded:
+        caps = [1.0]
+        ok = True
+        for i in range(1, len(REPEAT_COUNTS)):
+            miss = (N_POSES - int(tier_counts[i - 1])) / N_POSES
+            if miss > 0.40:  # capacity capping saves nothing; stay uncapped
+                ok = False
+                break
+            caps.append(min(1.0, max(32, math.ceil(2.0 * miss * N_POSES)) / N_POSES))
+        if ok:
+            capacities = tuple(caps)
 
     def chained(params, poses, key0, iters):
         def body(carry, i):
             k, acc = carry
             k = jax.random.fold_in(k, i)
             poses_dep = poses + (acc * 1e-30)  # data dependency, value-neutral
-            aux = solver._padded_params if solver._use_pallas else params
-            sols, valids = solver._exact_impl(
-                params, aux, poses_dep, k, REPEAT_COUNTS, POS_TOL, ROT_TOL, N_OPT_STEPS, 1e-4, 1.0,
-                capacities,
-            )
+            sols, valids = exact_args(poses_dep, k, capacities)
             acc = jnp.sum(sols) * 1e-6
             return (k, acc), jnp.sum(valids)
         (_, acc), valid_counts = jax.lax.scan(
             body, (key0, jnp.float32(0.0)), jnp.arange(iters)
         )
-        return acc, valid_counts[-1]
+        return acc, jnp.min(valid_counts)
 
     k_small, k_large = 2, 2 + TIMED_REPS
     run_small = jax.jit(lambda p, t, k: chained(p, t, k, k_small))
@@ -108,8 +137,22 @@ def main() -> int:
     t0 = time.time()
     _, valid_count = run_small(solver.params, targets, ks)
     valid_count = int(valid_count)
-    compile_s = time.time() - t0
+    compile_s += time.time() - t0
+    t0 = time.time()
     float(run_large(solver.params, targets, ks)[0])  # compile large
+    compile_s += time.time() - t0
+
+    # Guard: if the capped run converges fewer poses than the uncapped probe
+    # (beyond noise), the capacity schedule is lying — rerun uncapped.
+    if capacities is not None and valid_count / N_POSES < uncapped_valid_fraction - 0.005:
+        capacities = None
+        run_small = jax.jit(lambda p, t, k: chained(p, t, k, k_small))
+        run_large = jax.jit(lambda p, t, k: chained(p, t, k, k_large))
+        t0 = time.time()
+        _, valid_count = run_small(solver.params, targets, ks)
+        valid_count = int(valid_count)
+        float(run_large(solver.params, targets, ks)[0])
+        compile_s += time.time() - t0
 
     def timed(fn):
         ts = []
@@ -133,7 +176,7 @@ def main() -> int:
             k, acc = carry
             k = jax.random.fold_in(k, i)
             cond = solver._conditional(poses + acc * 1e-30)
-            latent = jax.random.normal(k, (N_POSES, solver.network_width), jnp.float32)
+            latent = jax.random.normal(k, (poses.shape[0], solver.network_width), jnp.float32)
             aux = solver._padded_params if solver._use_pallas else params
             q = solver._inverse_q(params, aux, latent, cond)
             sols = robot.clamp_to_joint_limits(q[:, : robot.ndof])
@@ -143,8 +186,10 @@ def main() -> int:
 
     ka_small = jax.jit(lambda p, t, k: chained_approx(p, t, k, 8 * k_small))
     ka_large = jax.jit(lambda p, t, k: chained_approx(p, t, k, 8 * k_large))
+    t0 = time.time()
     float(ka_small(solver.params, targets, ks)[0])
     float(ka_large(solver.params, targets, ks)[0])
+    compile_s += time.time() - t0
     approx_s = max(timed(ka_large) - timed(ka_small), 1e-9) / (8 * (k_large - k_small))
     approx_sols_per_s = N_POSES / approx_s
 
@@ -152,8 +197,10 @@ def main() -> int:
     # pose" axis): same differencing methodology on a 1-pose batch. jit
     # retraces run_small/run_large for the (1, 7) shape automatically.
     one = targets[:1]
+    t0 = time.time()
     float(run_small(solver.params, one, ks)[0])
     float(run_large(solver.params, one, ks)[0])
+    compile_s += time.time() - t0
     t1s = timed(lambda p, t, k: run_small(p, one, k))
     t1l = timed(lambda p, t, k: run_large(p, one, k))
     single_pose_s = max(t1l - t1s, 1e-9) / (k_large - k_small)
@@ -164,6 +211,8 @@ def main() -> int:
         "unit": f"solutions/s/chip (n={N_POSES}, tiers (1,3,10), 3 LM steps, 1mm/0.572deg)",
         "vs_baseline": round(sols_per_s / BASELINE_SOLS_PER_S, 3),
         "valid_fraction": round(valid_count / N_POSES, 4),
+        "uncapped_valid_fraction": round(uncapped_valid_fraction, 4),
+        "tier_valid_counts": [int(c) for c in tier_counts],
         "p50_latency_ms_per_batch": round(1000 * median_s, 2),
         "approx_ik_solutions_per_s": round(approx_sols_per_s, 1),
         "p50_single_pose_latency_ms": round(1000 * single_pose_s, 3),

@@ -211,11 +211,15 @@ def run(args: argparse.Namespace) -> int:
             params, dataset, checkpoint_dir=ckpt_dir, start_step=start_step, opt_state=opt_state
         )
     dt = time.time() - t0
-    steps_done = max(cfg.n_steps - start_step, 0)
+    # metrics["step"] is the step actually reached — a --time_budget_s run can
+    # stop well before n_steps, so never report cfg.n_steps as progress.
+    end_step = int(metrics.get("step", start_step))
+    steps_done = max(end_step - start_step, 0)
     if steps_done == 0:
         print(f"checkpoint already at/past n_steps ({start_step} >= {cfg.n_steps}); nothing to train")
     else:
-        print(f"trained up to {steps_done} steps in {dt:.1f}s ({steps_done / max(dt, 1e-9):.1f} steps/s); "
+        print(f"trained {steps_done} steps ({start_step} -> {end_step}) in {dt:.1f}s "
+              f"({steps_done / max(dt, 1e-9):.1f} steps/s); "
               f"final tr/loss={metrics.get('tr/loss', float('nan')):.4f}; run dir: {run_dir}")
 
     if args.export:

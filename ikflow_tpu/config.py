@@ -23,6 +23,14 @@ DATASET_DIR = os.path.join(CACHE_DIR, "datasets")
 MODELS_DIR = os.path.join(CACHE_DIR, "models")
 TRAINING_LOGS_DIR = os.path.join(CACHE_DIR, "training_logs")
 
+# Repo-shipped weights: deploy .npz artifacts committed next to the package
+# (<repo>/models). Searched after MODELS_DIR so a user's cache overrides the
+# shipped weights; lets the registry/bench/tests find trained weights with
+# zero environment setup (the reference instead downloads from GCS at call
+# time, model_loading.py:31-49).
+REPO_MODELS_DIR = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "models"))
+MODEL_SEARCH_DIRS = (MODELS_DIR, REPO_MODELS_DIR)
+
 # Dataset tag constants (parity: /root/reference/ikflow/config.py:21-23).
 DATASET_TAG_NON_SELF_COLLIDING = "non-self-colliding"
 ALL_DATASET_TAGS = [DATASET_TAG_NON_SELF_COLLIDING]

@@ -55,7 +55,15 @@ def resolve_weights_path(entry: Dict) -> Optional[str]:
         # Read through the module so a cache redirected by attribute
         # reassignment (config.MODELS_DIR = ...) after import is honored.
         # (IKFLOW_TPU_CACHE_DIR is read once at config-import time.)
-        wp = os.path.join(config.MODELS_DIR, wp)
+        # Search order: user cache first, then the repo-shipped models dir.
+        candidates = [os.path.join(config.MODELS_DIR, wp)]
+        candidates += [
+            os.path.join(d, wp) for d in config.MODEL_SEARCH_DIRS if d != config.MODELS_DIR
+        ]
+        for c in candidates:
+            if os.path.exists(c):
+                return c
+        wp = candidates[0]
     return wp
 
 

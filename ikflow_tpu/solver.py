@@ -300,12 +300,13 @@ class IKFlowSolver:
 
     def _exact_impl(
         self, params, aux, poses, key, repeat_counts, pos_tol, rot_tol, n_steps, lambd,
-        latent_scale, retry_capacities=None,
+        latent_scale, retry_capacities=None, return_tier_counts=False,
     ):
         n = poses.shape[0]
         ndof = self.ndof
         sols = jnp.zeros((n, ndof), dtype=poses.dtype)
         valids = jnp.zeros((n,), dtype=bool)
+        tier_counts = []
 
         for tier_idx, r in enumerate(repeat_counts):
             key, sub, rk = jax.random.split(key, 3)
@@ -316,6 +317,7 @@ class IKFlowSolver:
                 take = jnp.logical_not(valids) & tier_valid
                 sols = jnp.where(take[:, None], tier_sols, sols)
                 valids = valids | tier_valid
+                tier_counts.append(jnp.sum(valids))
                 continue
 
             cap = n
@@ -341,6 +343,11 @@ class IKFlowSolver:
             # Skip the whole tier when already fully converged — the TPU
             # analog of the reference's early return (ikflow_solver.py:383-385).
             sols, valids = jax.lax.cond(jnp.all(valids), lambda: (sols, valids), run_tier)
+            tier_counts.append(jnp.sum(valids))
+        if return_tier_counts:
+            # Cumulative valid count after each tier — lets callers (bench.py)
+            # derive honest retry capacities from measured per-tier miss rates.
+            return sols, valids, jnp.stack(tier_counts)
         return sols, valids
 
     # ------------------------------------------------------------------

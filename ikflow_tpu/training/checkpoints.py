@@ -84,8 +84,13 @@ def export_deploy(
     hyper_parameters: FlowHyperParams,
     robot_name: str,
     global_step: Optional[int] = None,
+    dtype: Optional[str] = None,
 ) -> str:
     """Write the deploy artifact: params + hparams + robot in one .npz.
+
+    ``dtype`` (e.g. "float16") halves the artifact for distribution; weights
+    are cast back to the model dtype at load time (``load_deploy``). The
+    stored dtype is recorded in the header.
 
     Returns the actual path written (np.savez appends '.npz' when missing)."""
     if not path.endswith(".npz"):
@@ -96,8 +101,11 @@ def export_deploy(
         "robot_name": robot_name,
         "global_step": global_step,
         "hyper_parameters": hyper_parameters.to_dict(),
+        "stored_dtype": dtype or "native",
     }
     flat = _flatten_params(params)
+    if dtype is not None:
+        flat = {k: v.astype(dtype) for k, v in flat.items()}
     np.savez_compressed(path, __header__=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8), **flat)
     return path
 

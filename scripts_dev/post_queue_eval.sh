@@ -9,11 +9,16 @@ set -u
 WAIT_PID="${1:?wait pid}"
 BASE=/root/.cache/ikflow_tpu/training_logs
 
-while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 20; done
+echo "waiting on pid $WAIT_PID"
+tail --pid="$WAIT_PID" -f /dev/null 2>/dev/null || true
 
 echo "=== evaluate --all ==="
+# evaluate appends to the performances file; move the old table aside so a
+# rerun regenerates rather than accumulates duplicate rows (ADVICE r1).
+PERF=/root/.cache/ikflow_tpu/model_performances.md
+[ -f "$PERF" ] && mv "$PERF" "$PERF.prev"
 timeout 2400 python -m ikflow_tpu.cli.main evaluate --all \
-    --performances_file /root/.cache/ikflow_tpu/model_performances.md \
+    --performances_file "$PERF" \
     > "$BASE/evaluate_all.log" 2>&1
 tail -20 "$BASE/evaluate_all.log"
 cat /root/.cache/ikflow_tpu/model_performances.md 2>/dev/null

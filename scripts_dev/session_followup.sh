@@ -13,7 +13,10 @@ BASE=/root/.cache/ikflow_tpu/training_logs
 MODELS=/root/.cache/ikflow_tpu/models
 HERE="$(dirname "$0")"
 
-while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 20; done
+# tail --pid exits when the PID dies and, unlike `kill -0` polling, cannot be
+# fooled by PID reuse or another user's zombie (ADVICE r1).
+echo "waiting on pid $WAIT_PID"
+tail --pid="$WAIT_PID" -f /dev/null 2>/dev/null || true
 
 if [ ! -f "$MODELS/panda__full.npz" ] && [ -d "$BASE/panda_full_r1/checkpoints" ]; then
     echo "=== panda export fallback from latest checkpoint ==="

@@ -9,7 +9,7 @@ WAIT_PID="${1:-}"
 
 if [ -n "$WAIT_PID" ]; then
     echo "waiting for pid $WAIT_PID to finish..."
-    while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 30; done
+    tail --pid="$WAIT_PID" -f /dev/null 2>/dev/null || true
 fi
 
 BASE=/root/.cache/ikflow_tpu/training_logs

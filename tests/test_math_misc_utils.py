@@ -7,6 +7,7 @@ constructors used to bake joint origins (so3), the MMD parity function
 """
 
 import os
+import random
 
 import numpy as np
 import jax
@@ -14,7 +15,7 @@ import jax.numpy as jnp
 import pytest
 
 from ikflow_tpu.math.so3 import axis_angle_to_matrix, rotation_log, rpy_to_matrix_np, skew_np
-from ikflow_tpu.math.stats import mmd_multiscale
+from ikflow_tpu.math.stats import mmd_multiscale, mmd_multiscale_ca
 from ikflow_tpu.utils.misc import boolean_string, safe_mkdir, set_seed, tensor_stats
 from ikflow_tpu.utils.profiling import SectionTimes, timing_section
 
@@ -115,6 +116,24 @@ def test_mmd_matches_dense_oracle():
     np.testing.assert_allclose(got, oracle, atol=1e-5)
 
 
+def test_mmd_ca_matches_reference_goldens():
+    """Golden values computed with an independent torch transcription of the
+    reference kernel ``C**a * ((C+d)/a)**-a`` (math_utils.py:6-43), using the
+    reference docstring's own c/a presets."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(6, 3)), jnp.float64)
+    y = jnp.asarray(rng.normal(size=(6, 3)), jnp.float64)
+    r1 = float(mmd_multiscale_ca(x, y, [1.1827009364464547] * 3, [0.2, 1.0, 2.0]))
+    np.testing.assert_allclose(r1, 1.1996378898620605, rtol=1e-5)
+    r2 = float(mmd_multiscale_ca(x, y, [0.1, 0.2, 0.5], [0.5, 1.0, 2.0]))
+    np.testing.assert_allclose(r2, 1.5501548051834106, rtol=1e-5)
+    m = mmd_multiscale_ca(x, y, [0.3], [1.5], reduce=False)
+    assert m.shape == (6, 6)
+    np.testing.assert_allclose(float(m[0, 0]), 3.651493549346924, rtol=1e-5)
+    np.testing.assert_allclose(float(m[2, 3]), -0.01280549168586731, atol=1e-5)
+    np.testing.assert_allclose(float(jnp.sum(m)), 18.63864517211914, rtol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # utils
 # ---------------------------------------------------------------------------
@@ -137,13 +156,22 @@ def test_tensor_stats_fields():
     assert np.isnan(stats["max"]) or stats["max"] == 5.0  # nan-propagating max is fine
 
 
-def test_set_seed_reproducible_host_rng():
-    set_seed(123)
-    a = np.random.rand(4)
-    set_seed(123)
-    b = np.random.rand(4)
-    np.testing.assert_array_equal(a, b)
-    assert os.environ["PYTHONHASHSEED"] == "123"
+def test_set_seed_reproducible_host_rng(monkeypatch):
+    # Restore global RNG state + PYTHONHASHSEED afterwards so other tests'
+    # randomness does not depend on execution order (ADVICE r1).
+    np_state = np.random.get_state()
+    py_state = random.getstate()
+    monkeypatch.setenv("PYTHONHASHSEED", os.environ.get("PYTHONHASHSEED", ""))
+    try:
+        set_seed(123)
+        a = np.random.rand(4)
+        set_seed(123)
+        b = np.random.rand(4)
+        np.testing.assert_array_equal(a, b)
+        assert os.environ["PYTHONHASHSEED"] == "123"
+    finally:
+        np.random.set_state(np_state)
+        random.setstate(py_state)
 
 
 def test_safe_mkdir_idempotent(tmp_path):
