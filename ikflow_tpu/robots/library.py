@@ -15,9 +15,17 @@ Verification status:
   (the flow normalizes joints by their limit magnitude, so finite bounds are
   required — see ``/root/reference/ikflow/model.py:310-316``). FetchArm is the
   Fetch chain with the torso lift fixed at zero extension.
-- **Rizon4**: approximate (public Flexiv URDF values not bundled in this image);
-  structure and limits follow the Rizon 4 datasheet. Self-consistent for
-  training/solving; not bit-parity with jrl's rizon4.
+- **Rizon4**: approximate. Exact parity would require the Flexiv ``rizon4``
+  URDF joint frames that jrl pins; this build environment has no network
+  egress and does not bundle jrl or flexiv_description, so those values are
+  unobtainable here (verified: no rizon/flexiv data anywhere on the image).
+  The chain is instead authored from the public Rizon 4 datasheet: 7 DoF
+  alternating-axis structure, ~575 mm + ~595 mm arm segments distributed over
+  the link offsets below, ~920 mm max reach, joint limits +/-160 deg (odd
+  joints) / +/-130 deg (even joints). Self-consistent for training/solving
+  (FK/IK/Jacobian/limits all derive from the same chain) and locked by a
+  golden regression test; NOT bit-parity with jrl's rizon4 — swap in the URDF
+  origins when available and the golden test will flag the change.
 
 Collision capsules are first-party "skeleton" capsules spanning consecutive
 joint origins plus hand-authored extras; radii approximate the link volumes.

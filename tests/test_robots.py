@@ -160,3 +160,23 @@ def test_filtered_sampling_raises_on_oversample_shortfall():
         raise AssertionError("expected ValueError on oversample shortfall")
     except ValueError as e:
         assert "oversample_factor" in str(e)
+
+
+def test_rizon4_fk_golden_regression_lock():
+    """Locks the (datasheet-approximate) Rizon4 chain: exact URDF frames are
+    unobtainable in this environment (no egress, no jrl/flexiv_description),
+    so instead of jrl parity this pins the authored chain's FK so any future
+    kinematics edit — including swapping in real URDF origins — is a visible,
+    deliberate diff (see robots/library.py module doc, Rizon4 entry)."""
+    robot = get_robot("rizon4")
+    zero = np.asarray(robot.forward_kinematics(jnp.zeros((1, 7))))[0]
+    np.testing.assert_allclose(
+        zero, [0.0, -0.44, 0.831, 1.0, 0.0, 0.0, 0.0], atol=1e-6
+    )
+    q = jnp.asarray([[0.3, -0.5, 0.7, -1.1, 0.4, 0.9, -0.2]])
+    pose = np.asarray(robot.forward_kinematics(q))[0]
+    np.testing.assert_allclose(
+        pose,
+        [0.50300497, -0.10561575, 0.49862957, 0.79441923, 0.13066661, 0.40710703, 0.43137947],
+        atol=1e-5,
+    )
