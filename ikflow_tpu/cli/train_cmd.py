@@ -46,6 +46,9 @@ def add_parser(sub):
     p.add_argument("--smoke", action="store_true", help="tiny model + tiny run (CI)")
     p.add_argument("--resume", type=str, default=None, help="checkpoint dir to resume from")
     p.add_argument("--export", type=str, default=None, help="deploy .npz path to write at the end")
+    p.add_argument("--export_dtype", type=str, default=None,
+                   help="storage dtype for the deploy artifact (e.g. float16; halves the file, "
+                        "cast back to model dtype at load)")
     p.add_argument("--run_dir", type=str, default=None)
     p.add_argument("--data_parallel", action="store_true", help="shard batch over all devices")
     p.add_argument("--bf16_hidden", action="store_true", help="bfloat16 hidden matmuls (MXU)")
@@ -228,6 +231,7 @@ def run(args: argparse.Namespace) -> int:
         path = export_deploy(
             args.export, params, hp, robot.name,
             global_step=int(metrics.get("step", cfg.n_steps)),
+            dtype=args.export_dtype,
         )
         print(f"exported deploy artifact -> {path}")
     return 0

@@ -27,6 +27,8 @@ def main() -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--nb_nodes", type=int, default=12)
     ap.add_argument("--dim_latent_space", type=int, required=True)
+    ap.add_argument("--dtype", type=str, default=None,
+                    help="storage dtype for the artifact (e.g. float16); native when omitted")
     args = ap.parse_args()
 
     robot = get_robot(args.robot_name)
@@ -47,7 +49,8 @@ def main() -> int:
         )
     except ValueError:
         restored, step = restore_checkpoint(args.ckpt_dir, template={"params": template})
-    path = export_deploy(args.out, restored["params"], hp, robot.name, global_step=step)
+    path = export_deploy(args.out, restored["params"], hp, robot.name, global_step=step,
+                         dtype=args.dtype)
     print(f"exported {path} from checkpoint step {step}")
     return 0
 

@@ -175,6 +175,18 @@ def test_checkpoint_roundtrip():
         for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+        # fp16 storage: half the bytes, loads back as the model dtype with
+        # <= half-ulp-of-fp16 quantization error per weight.
+        deploy16 = os.path.join(d, "model16.npz")
+        export_deploy(deploy16, params, hp, "panda", global_step=100, dtype="float16")
+        assert os.path.getsize(deploy16) < 0.65 * os.path.getsize(deploy)
+        params3, header16 = load_deploy(deploy16, params)
+        assert header16["stored_dtype"] == "float16"
+        for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params3)):
+            a, b = np.asarray(a), np.asarray(b)
+            assert b.dtype == a.dtype
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
 
 def test_registry_listing_and_errors():
     from ikflow_tpu import config
@@ -188,19 +200,25 @@ def test_registry_listing_and_errors():
     except ValueError as e:
         assert "unknown model" in str(e)
     # No weights on disk -> helpful error unless allow_uninitialized. Redirect
-    # the models cache to an empty dir so a trained panda__full.npz on this
-    # machine doesn't flip the expected outcome.
+    # the whole models search path (cache dir AND repo-shipped models/) to an
+    # empty dir so trained weights on this machine don't flip the outcome.
     saved = config.MODELS_DIR
+    saved_search = config.MODEL_SEARCH_DIRS
     with tempfile.TemporaryDirectory() as d:
         config.MODELS_DIR = d
+        config.MODEL_SEARCH_DIRS = (d,)
         try:
             get_ik_solver("panda__full__lp191_5.25m")
             raise RuntimeError("should have raised")
         except FileNotFoundError as e:
             assert "train" in str(e).lower()
+        # Still inside the redirected search path: allow_uninitialized builds
+        # a weightless solver even when no artifact exists anywhere.
+        try:
+            solver, hp = get_ik_solver("panda_lite_tpm", allow_uninitialized=True)
         finally:
             config.MODELS_DIR = saved
-    solver, hp = get_ik_solver("panda_lite_tpm", allow_uninitialized=True)
+            config.MODEL_SEARCH_DIRS = saved_search
     assert solver.robot.name == "panda"
     assert hp.nb_nodes == 6 and hp.dim_latent_space == 7
     # Registry-level flag only tolerates the missing weights file; generating
