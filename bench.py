@@ -45,6 +45,24 @@ ROT_TOL = 0.01
 TIMED_REPS = 5
 
 
+def derive_retry_capacities(tier_counts, n_poses, n_tiers):
+    """Per-tier capacity fractions from MEASURED cumulative valid counts.
+
+    tier_counts[i] = poses converged after tier i of an uncapped probe run.
+    Tier i's capacity covers the measured miss count entering that tier with
+    2x headroom (min 32 poses so key-to-key variance can't strand anyone).
+    Returns None (= run uncapped) when tier-1 misses >40% of poses — capping
+    saves nothing there and the 2x headroom would exceed full width anyway.
+    """
+    caps = [1.0]
+    for i in range(1, n_tiers):
+        miss = (n_poses - int(tier_counts[i - 1])) / n_poses
+        if miss > 0.40:
+            return None
+        caps.append(min(1.0, max(32, math.ceil(2.0 * miss * n_poses)) / n_poses))
+    return tuple(caps)
+
+
 def main() -> int:
     from ikflow_tpu.config import MODEL_SEARCH_DIRS
     from ikflow_tpu.flow import FlowHyperParams
@@ -104,18 +122,10 @@ def main() -> int:
     compile_s += time.time() - t0
     uncapped_valid_fraction = float(np.mean(np.asarray(probe_valids)))
 
-    capacities = None
-    if weights_loaded:
-        caps = [1.0]
-        ok = True
-        for i in range(1, len(REPEAT_COUNTS)):
-            miss = (N_POSES - int(tier_counts[i - 1])) / N_POSES
-            if miss > 0.40:  # capacity capping saves nothing; stay uncapped
-                ok = False
-                break
-            caps.append(min(1.0, max(32, math.ceil(2.0 * miss * N_POSES)) / N_POSES))
-        if ok:
-            capacities = tuple(caps)
+    capacities = (
+        derive_retry_capacities(tier_counts, N_POSES, len(REPEAT_COUNTS))
+        if weights_loaded else None
+    )
 
     def chained(params, poses, key0, iters):
         def body(carry, i):
