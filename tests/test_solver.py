@@ -181,3 +181,49 @@ def test_exact_ik_deterministic_under_key():
     )
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+# ---------------------------------------------------------------------------
+# Capacity-capped retry tiers.
+# ---------------------------------------------------------------------------
+
+
+def test_capacity_capped_tiers_preserve_and_extend_validity():
+    """The fixed-shape compaction retry (argsort invalid-first, fixed bucket)
+    must (a) never lose a tier-1 solution, (b) retry invalid poses first, and
+    (c) match the uncapped run's final validity when the bucket covers every
+    miss. Uses an untrained flow with generous LM budgets so tier-1 leaves a
+    mix of valid/invalid poses."""
+    solver = _make_solver()
+    robot = solver.robot
+    poses = _random_reachable_poses(robot, jax.random.PRNGKey(3), 48)
+    key = jax.random.PRNGKey(4)
+
+    kwargs = dict(
+        repeat_counts=(1, 4), pos_error_threshold=1e-3, rot_error_threshold=0.01,
+        n_opt_steps_max=12, key=key, allow_uninitialized=True,
+    )
+    sols_full, valid_full = solver.generate_exact_ik_solutions(poses, **kwargs)
+    # Capacity 1.0 on the retry tier = same work as uncapped, via the
+    # compaction path; identical keys -> identical latents -> same results.
+    sols_cap, valid_cap = solver.generate_exact_ik_solutions(
+        poses, retry_capacities=(1.0, 1.0), **kwargs
+    )
+    np.testing.assert_array_equal(np.asarray(valid_full), np.asarray(valid_cap))
+
+    # A tight bucket may converge fewer poses but must never report a pose
+    # valid without its solution actually solving it, and tier-1 validity is
+    # a lower bound (already-valid poses are never evicted).
+    sols_t1, valid_t1 = solver.generate_exact_ik_solutions(
+        poses, repeat_counts=(1,), pos_error_threshold=1e-3,
+        rot_error_threshold=0.01, n_opt_steps_max=12, key=key,
+        allow_uninitialized=True,
+    )
+    sols_small, valid_small = solver.generate_exact_ik_solutions(
+        poses, retry_capacities=(1.0, 0.25), **kwargs
+    )
+    assert np.asarray(valid_small).sum() >= np.asarray(valid_t1).sum()
+    ev = solver.evaluate(poses, sols_small)
+    pe = np.asarray(ev.pos_errors)[np.asarray(valid_small)]
+    re_ = np.asarray(ev.rot_errors)[np.asarray(valid_small)]
+    assert (pe <= 1e-3 + 1e-6).all() and (re_ <= 0.01 + 1e-6).all()
