@@ -86,6 +86,14 @@ class IKFlowSolver:
         # coupling subnet's activations VMEM-resident. TPU-only; the jnp path
         # remains the source of truth and the training path.
         self._use_pallas = use_pallas
+        if use_pallas and jax.default_backend() != "tpu":
+            import warnings
+
+            warnings.warn(
+                f"use_pallas=True but the default backend is {jax.default_backend()!r}; "
+                "falling back to the XLA inverse (the fused kernel only lowers on TPU)",
+                stacklevel=2,
+            )
         self._padded_params = self._flow.pad_params_for_pallas(params) if use_pallas else None
         self._key = jax.random.PRNGKey(seed ^ 0x5EED)
         self._jit_cache = {}
