@@ -11,6 +11,13 @@ set -u
 RUN_DIR="$1"; shift
 TOTAL_BUDGET_S="$1"; shift
 STALL_S="${STALL_S:-360}"
+# A (re)launched trainer legitimately needs several minutes before its first
+# metrics write: orbax restore + dataset decompress + HBM upload over the
+# tunnel + XLA compile. Measured ~7 min for the 50M-param flagship with a 25M
+# dataset — killing at STALL_S after launch caused an infinite restart loop
+# (r2 flagship, 10:19-10:34). Until the first write after a launch, allow
+# LAUNCH_GRACE_S instead of STALL_S.
+LAUNCH_GRACE_S="${LAUNCH_GRACE_S:-900}"
 METRICS="$RUN_DIR/metrics.jsonl"
 CKPTS="$RUN_DIR/checkpoints"
 START=$(date +%s)
@@ -47,11 +54,13 @@ while true; do
     fi
     if [ -f "$METRICS" ]; then
         MT=$(stat -c %Y "$METRICS")
-        # Progress reference = most recent of (metrics write, this launch):
-        # a fresh launch needs compile time before its first metrics line.
+        # Progress reference = most recent of (metrics write, this launch);
+        # before the first write of this launch, use the launch grace window.
         REF=$((MT > LAUNCH_TS ? MT : LAUNCH_TS))
         AGE=$((NOW - REF))
-        if [ "$AGE" -ge "$STALL_S" ]; then
+        LIMIT=$STALL_S
+        [ "$MT" -le "$LAUNCH_TS" ] && LIMIT=$LAUNCH_GRACE_S
+        if [ "$AGE" -ge "$LIMIT" ]; then
             echo "$(date -u +%H:%M:%S) STALL detected (metrics ${AGE}s old); restarting pid $TRAIN_PID"
             kill "$TRAIN_PID" 2>/dev/null
             sleep 10
