@@ -125,12 +125,22 @@ def run(args: argparse.Namespace) -> int:
             dataset = load_dataset(args.robot_name, tuple(args.dataset_tags))
         except FileNotFoundError:
             print(f"dataset not found; generating {args.dataset_size} samples on-device")
-            dataset = build_dataset(robot, training_set_size=args.dataset_size)
-            # Persist so watchdog restarts / resumed runs skip regeneration
-            # (generation is minutes at the 2.5M default over a tunnel).
-            from ikflow_tpu.training.dataset import save_dataset
+            if args.on_device_data and not args.data_parallel:
+                # Resident path: the dataset is generated AND consumed on
+                # device — zero host round-trip (over a tunneled TPU, pulling
+                # 25M samples to the host measures in hours). Deterministic in
+                # the seed, so watchdog restarts regenerate identical data in
+                # seconds instead of reloading from disk.
+                from ikflow_tpu.training.dataset import build_dataset_resident
 
-            print(f"saved dataset to {save_dataset(dataset)}")
+                dataset = build_dataset_resident(robot, training_set_size=args.dataset_size)
+            else:
+                dataset = build_dataset(robot, training_set_size=args.dataset_size)
+                # Persist so watchdog restarts / resumed runs skip regeneration
+                # (generation is minutes at the 2.5M default over a tunnel).
+                from ikflow_tpu.training.dataset import save_dataset
+
+                print(f"saved dataset to {save_dataset(dataset)}")
 
     ensure_cache_dirs()
     run_dir = args.run_dir or os.path.join(

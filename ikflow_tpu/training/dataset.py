@@ -83,6 +83,82 @@ def _generate_split(
     return np.concatenate(qs, axis=0), np.concatenate(ps, axis=0)
 
 
+def build_dataset_resident(
+    robot: KinematicChain,
+    training_set_size: int = 25_000_000,
+    test_set_size: int = DEFAULT_TEST_SET_SIZE,
+    only_non_self_colliding: bool = True,
+    joint_limit_eps: float = DEFAULT_JOINT_LIMIT_EPS,
+    seed: int = 0,
+    chunk_size: int = 1 << 20,
+    redraw_rounds: int = 6,
+) -> IkDataset:
+    """Generate a dataset that NEVER leaves the device.
+
+    ``build_dataset`` filters self-collisions by pulling every chunk to the
+    host and concatenating accepted rows — ~3 GB of host<->device traffic for
+    a 25M-sample set, which over a tunneled TPU dominates wall-clock (measured
+    hours). Here the rejection filter is replaced by fixed-shape *redraw
+    compaction*: colliding rows are overwritten with fresh draws for
+    ``redraw_rounds`` rounds (collision fraction p -> p**(rounds+1), ~1e-9 for
+    the ~4-6%% collision rates of these robots), and any residual colliding
+    row borrows its neighbor (duplicating one sample at ~1e-9 rate is
+    statistically invisible at 25M). Everything — sampling, filtering, FK —
+    runs in one compiled ``lax.scan`` over chunks; train arrays stay on device
+    (the test split is pulled: ~1 MB).
+
+    Replaces the host pipeline of ``/root/reference/scripts/build_dataset.py``
+    (jrl ``sample_joint_angles_and_poses``, ``build_dataset.py:90-101``) with
+    the same semantics: in-limit (eps-margined) uniform joint samples, FK
+    poses, optional non-self-colliding filter.
+    """
+    ndof = robot.ndof
+
+    def one_chunk(k: jax.Array):
+        ks = jax.random.split(k, redraw_rounds + 1)
+        q = robot.sample_joint_angles(ks[0], chunk_size, joint_limit_eps)
+        if only_non_self_colliding and robot.capsules:
+            bad = robot.config_self_collides(q)
+
+            def body(carry, kk):
+                q, bad = carry
+                fresh = robot.sample_joint_angles(kk, chunk_size, joint_limit_eps)
+                q = jnp.where(bad[:, None], fresh, q)
+                bad = robot.config_self_collides(q)
+                return (q, bad), bad.sum()
+
+            (q, bad), _ = jax.lax.scan(body, (q, bad), ks[1:])
+            # Residual bad rows borrow a (collision-free w.h.p.) neighbor.
+            q = jnp.where(bad[:, None], jnp.roll(q, 1, axis=0), q)
+        return q, robot.forward_kinematics(q)
+
+    def gen(k: jax.Array, n: int):
+        n_chunks = -(-n // chunk_size)
+        keys = jax.random.split(k, n_chunks)
+
+        def body(_, kk):
+            return None, one_chunk(kk)
+
+        _, (qs, ps) = jax.lax.scan(body, None, keys)
+        return qs.reshape(-1, ndof)[:n], ps.reshape(-1, ps.shape[-1])[:n]
+
+    key = jax.random.PRNGKey(seed)
+    k_tr, k_te = jax.random.split(key)
+    samples_tr, endpoints_tr = jax.jit(gen, static_argnums=1)(k_tr, int(training_set_size))
+    te_q, te_p = jax.jit(gen, static_argnums=1)(k_te, int(test_set_size))
+    samples_te, endpoints_te = np.asarray(te_q), np.asarray(te_p)
+
+    # Sanity checks mirroring build_dataset.py:112-122 — scalars only cross
+    # the host boundary.
+    stds = samples_tr.std(axis=0)
+    assert bool((stds > 0.001).all()), f"degenerate joint column: stds={np.asarray(stds)}"
+    low = robot.limits_low() + joint_limit_eps
+    high = robot.limits_high() - joint_limit_eps
+    assert bool(((samples_tr >= low - 1e-5) & (samples_tr <= high + 1e-5)).all())
+    tags = (DATASET_TAG_NON_SELF_COLLIDING,) if only_non_self_colliding else ()
+    return IkDataset(samples_tr, endpoints_tr, samples_te, endpoints_te, robot.name, tags)
+
+
 def build_dataset(
     robot: KinematicChain,
     training_set_size: int = 2_500_000,

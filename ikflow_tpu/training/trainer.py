@@ -278,9 +278,13 @@ class Trainer:
         # updates; copy at entry so the caller's arrays stay valid.
         params = jax.tree_util.tree_map(jnp.copy, params)
         opt_state = jax.tree_util.tree_map(jnp.copy, opt_state)
-        samples = np.asarray(dataset.samples_tr)
-        endpoints = np.asarray(dataset.endpoints_tr)
+        samples = dataset.samples_tr
+        endpoints = dataset.endpoints_tr
         if self.mesh is not None:
+            # Sharding below manipulates host arrays; device-resident inputs
+            # (build_dataset_resident) are pulled once here.
+            samples = np.asarray(samples)
+            endpoints = np.asarray(endpoints)
             # The leading axis must divide evenly over the mesh; pad with
             # wrapped rows (never sampled: batch indices stay < n_train below).
             n_dev = self.mesh.devices.size

@@ -103,6 +103,38 @@ def test_build_save_load_dataset():
         assert os.path.exists(os.path.join(out, "info.txt"))
 
 
+def test_build_dataset_resident_device_only():
+    """Resident builder: same semantics as build_dataset with zero host pulls
+    for the train split — in-limit, non-self-colliding, FK-consistent,
+    deterministic in the seed, and directly trainable via fit_on_device."""
+    robot = get_robot("panda")
+    from ikflow_tpu.training import build_dataset_resident
+
+    ds = build_dataset_resident(robot, training_set_size=3000, test_set_size=200, chunk_size=1024)
+    assert isinstance(ds.samples_tr, jax.Array)  # never left the device
+    assert ds.samples_tr.shape == (3000, 7) and ds.endpoints_tr.shape == (3000, 7)
+    assert ds.samples_te.shape == (200, 7)
+    q = jnp.asarray(ds.samples_tr)
+    assert float(robot.config_self_collides(q).mean()) == 0.0
+    low, high = robot.limits_low(), robot.limits_high()
+    assert bool(((q >= low) & (q <= high)).all())
+    fk = np.asarray(robot.forward_kinematics(q[:64]))
+    np.testing.assert_allclose(fk, np.asarray(ds.endpoints_tr[:64]), atol=1e-5)
+    # Deterministic in the seed (watchdog restarts regenerate identical data).
+    ds2 = build_dataset_resident(robot, training_set_size=3000, test_set_size=200, chunk_size=1024)
+    np.testing.assert_array_equal(np.asarray(ds.samples_tr), np.asarray(ds2.samples_tr))
+
+    cfg = TrainConfig(n_steps=20, batch_size=128, log_every=0, eval_every=0, checkpoint_every=0)
+    hp = tiny_model_params()
+    hp.dim_latent_space = max(robot.ndof, 8)
+    flow = build_flow(hp, robot)
+    params = flow.init(jax.random.PRNGKey(0))
+    with tempfile.TemporaryDirectory() as d:
+        trainer = Trainer(flow, robot, cfg, log_dir=d)
+        _, metrics = trainer.fit_on_device(params, ds, steps_per_call=10)
+    assert metrics["step"] == 20 and np.isfinite(metrics["tr/loss"])
+
+
 def test_short_training_run_loss_decreases():
     hp, robot, flow, params, q, poses = _setup()
     ds = build_dataset(robot, training_set_size=4096, test_set_size=256, chunk_size=4096)
