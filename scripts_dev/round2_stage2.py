@@ -57,6 +57,41 @@ def main():
 
     from ikflow_tpu.cli.main import main as cli_main
 
+    # Patch stage: any registry entry whose deploy artifact is still missing
+    # (a watchdog-budgeted stage can die entirely inside the per-process
+    # overhead) gets a short in-process run — no extra first-pull stall here.
+    def patch_missing():
+        import yaml
+
+        with open(os.path.join(REPO, "ikflow_tpu", "model_descriptions.yaml")) as f:
+            entries = yaml.safe_load(f)
+        for name, e in entries.items():
+            npz = os.path.join(REPO, "models", e["weights_path"])
+            if os.path.exists(npz):
+                continue
+            run = os.path.join(BASE, f"patch_{os.path.basename(npz)[:-4]}")
+            log(f"patching missing {e['weights_path']} ({e['robot_name']})")
+            rc = cli_main([
+                "train", "--robot_name", e["robot_name"],
+                "--nb_nodes", str(e["nb_nodes"]),
+                "--dim_latent_space", str(e["dim_latent_space"]),
+                "--batch_size", "2048", "--learning_rate", "2e-4",
+                "--gamma", "0.88", "--step_lr_every", "12000",
+                "--n_steps", "2000000", "--on_device_data",
+                "--steps_per_call", "500", "--time_budget_s", "300",
+                "--eval_every", "10000", "--log_every", "2500",
+                "--checkpoint_every", "10000", "--dataset_size", "5000000",
+                "--run_dir", run,
+                "--export", npz, "--export_dtype", "float16",
+            ])
+            if rc == 0 and os.path.exists(npz):
+                os.system(
+                    f"cd {REPO} && git add models/{e['weights_path']} && "
+                    f"git commit -q -m 'models: add trained {e['weights_path'][:-4]} deploy weights' || true"
+                )
+
+    stage("patch missing models", patch_missing)
+
     if not args.skip_boost:
         budget = max(args.train_until - time.time(), 120.0)
         log(f"flagship boost budget: {budget:.0f}s")
