@@ -97,6 +97,8 @@ def main():
         log(f"flagship boost budget: {budget:.0f}s")
 
         def boost():
+            ckpts = os.path.join(RUN_DIR, "checkpoints")
+            resume = ["--resume", ckpts] if os.path.isdir(ckpts) and os.listdir(ckpts) else []
             rc = cli_main([
                 "train", "--robot_name", "panda", "--nb_nodes", "12",
                 "--dim_latent_space", "7", "--batch_size", "2048",
@@ -107,7 +109,7 @@ def main():
                 "--eval_every", "20000", "--log_every", "2500",
                 "--checkpoint_every", "20000",
                 "--dataset_size", "25000000",
-                "--run_dir", RUN_DIR, "--resume", os.path.join(RUN_DIR, "checkpoints"),
+                "--run_dir", RUN_DIR, *resume,
                 "--export", os.path.join(REPO, "models", "panda__full.npz"),
                 "--export_dtype", "float16",
             ])
