@@ -165,9 +165,6 @@ def main():
                 else:
                     os.environ[k] = v
 
-    stage("bench xla", lambda: run_bench("xla", {"IKFLOW_TPU_BENCH_PALLAS": "0"}))
-    stage("bench pallas", lambda: run_bench("pallas", {"IKFLOW_TPU_BENCH_PALLAS": "1"}))
-
     def contract():
         from tests.test_trained_contract import test_exact_ik_contract_trained_weights
         test_exact_ik_contract_trained_weights()
@@ -175,7 +172,11 @@ def main():
         with open(os.path.join(BASE, "contract_tpu_r2.log"), "w") as f:
             f.write("PASS\n")
 
+    # Order: the artifacts only this run can produce come first; the driver
+    # re-runs bench.py itself at round end, so benches are last.
     stage("contract 1000 poses", contract)
+    stage("bench xla", lambda: run_bench("xla", {"IKFLOW_TPU_BENCH_PALLAS": "0"}))
+    stage("bench pallas", lambda: run_bench("pallas", {"IKFLOW_TPU_BENCH_PALLAS": "1"}))
     log("stage2 complete")
 
 
