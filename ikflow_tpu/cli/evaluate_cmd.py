@@ -67,12 +67,27 @@ def _run_all(args: argparse.Namespace) -> int:
             latent_scale=DEFAULT_LATENT_SCALE, key=k2, allow_uninitialized=args.uninitialized,
         )
         ev = solver.evaluate(poses_t, sols)
+        # Runtime for n_runtime_samples solutions of one pose, k repeats with
+        # the compile call excluded (parity: evaluate.py:93-108 and the
+        # "Mean runtime for 100 solutions (ms)" column).
+        times = []
+        for i in range(args.runtime_k + 1):
+            t0 = time.time()
+            out = solver.generate_ik_solutions(
+                testset[0], n=args.n_runtime_samples,
+                key=jax.random.fold_in(k2, i), allow_uninitialized=args.uninitialized,
+            )
+            out.block_until_ready()
+            times.append(time.time() - t0)
+        runtime_ms = 1000.0 * sum(times[1:]) / len(times[1:])
         rows.append((
             name, robot.name,
             1000 * float(jnp.mean(ev.pos_errors)),
             float(jnp.rad2deg(jnp.mean(ev.rot_errors))),
             100 * float(jnp.mean(ev.joint_limits_exceeded.astype(jnp.float32))),
             100 * float(jnp.mean(ev.self_colliding.astype(jnp.float32))),
+            runtime_ms,
+            hp.nb_nodes,
         ))
         print(f"evaluated {name}")
 
@@ -83,10 +98,12 @@ def _run_all(args: argparse.Namespace) -> int:
             f.write("# Model performances\n")
         f.write(f"\n## {stamp} ({args.testset_size} poses x {args.n_samples_for_errors} sols, "
                 f"latent scale {DEFAULT_LATENT_SCALE})\n\n")
-        f.write("| model | robot | mean l2 (mm) | mean ang (deg) | % jlim exceeded | % self-colliding |\n")
-        f.write("|---|---|---|---|---|---|\n")
+        f.write(f"| model | robot | mean l2 (mm) | mean ang (deg) | % jlim exceeded | "
+                f"% self-colliding | mean runtime for {args.n_runtime_samples} sols (ms) | coupling layers |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
         for r in rows:
-            f.write(f"| {r[0]} | {r[1]} | {r[2]:.2f} | {r[3]:.2f} | {r[4]:.2f} | {r[5]:.2f} |\n")
+            f.write(f"| {r[0]} | {r[1]} | {r[2]:.2f} | {r[3]:.2f} | {r[4]:.2f} | {r[5]:.2f} "
+                    f"| {r[6]:.2f} | {r[7]} |\n")
     print(f"wrote {len(rows)} rows to {args.performances_file}")
     return 0
 
