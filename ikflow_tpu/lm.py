@@ -82,8 +82,8 @@ def lm_step(
     pose, J = robot.fk_pose_and_jacobian(q)  # (n,7), (n,6,ndof)
     r = pose_residual(pose, target_poses)  # (n,6)
     ndof = q.shape[-1]
-    JtJ = jnp.einsum("nij,nik->njk", J, J) + lambd * jnp.eye(ndof, dtype=q.dtype)
-    Jtr = jnp.einsum("nij,ni->nj", J, r)
+    JtJ = jnp.einsum("nij,nik->njk", J, J, precision="highest") + lambd * jnp.eye(ndof, dtype=q.dtype)
+    Jtr = jnp.einsum("nij,ni->nj", J, r, precision="highest")
     dq = cholesky_solve_small(JtJ, Jtr)
     q_new = q + dq
     if clamp_to_limits:
@@ -164,8 +164,8 @@ def refine(
         cap_valid = cap_valid | valid
 
         err = jnp.sum(r * r, axis=-1)
-        JtJ = jnp.einsum("nij,nik->njk", J, J) + lam[:, None, None] * eye
-        Jtr = jnp.einsum("nij,ni->nj", J, r)
+        JtJ = jnp.einsum("nij,nik->njk", J, J, precision="highest") + lam[:, None, None] * eye
+        Jtr = jnp.einsum("nij,ni->nj", J, r, precision="highest")
         if clamp_to_limits:
             # Bound-constrained step (projected active set): a DOF pinned at a
             # limit whose descent direction points outward is frozen out of the

@@ -145,6 +145,13 @@ class KinematicChain:
             f"{self.name}: q last dim must be ndof={self._ndof}, got shape {q.shape}"
         )
         dtype = q.dtype
+        # Full-precision rotation algebra: TPU matmuls default to bf16 MXU
+        # passes, and bf16-truncating a chain of 8+ composed 3x3 rotations
+        # costs ~0.5 mm / ~0.3 deg of FK noise — most of the exact-IK
+        # tolerance budget (1 mm / 0.572 deg). These matrices are tiny, so
+        # "highest" costs nothing measurable.
+        mm = lambda a, b: jnp.matmul(a, b, precision="highest")  # noqa: E731
+        rot = lambda Rm, v: jnp.einsum("...ij,j->...i", Rm, v, precision="highest")  # noqa: E731
         batch_shape = q.shape[:-1]
         R = jnp.broadcast_to(jnp.eye(3, dtype=dtype), batch_shape + (3, 3))
         p = jnp.zeros(batch_shape + (3,), dtype=dtype)
@@ -155,24 +162,24 @@ class KinematicChain:
         for idx, joint in enumerate(self.joints):
             Ro = jnp.asarray(self._origins_R[idx], dtype=dtype)
             to = jnp.asarray(self._origins_t[idx], dtype=dtype)
-            p = p + jnp.einsum("...ij,j->...i", R, to)
-            R = R @ Ro
+            p = p + rot(R, to)
+            R = mm(R, Ro)
             if joint.joint_type == REVOLUTE:
                 theta = q[..., qi]
                 axis = jnp.asarray(self._axes[idx], dtype=dtype)
-                world_axes.append(jnp.einsum("...ij,j->...i", R, axis))
+                world_axes.append(rot(R, axis))
                 world_origins.append(p)
                 K = jnp.asarray(self._K[idx], dtype=dtype)
                 KK = jnp.asarray(self._KK[idx], dtype=dtype)
                 s = jnp.sin(theta)[..., None, None]
                 c1 = (1.0 - jnp.cos(theta))[..., None, None]
                 Rj = jnp.eye(3, dtype=dtype) + s * K + c1 * KK
-                R = R @ Rj
+                R = mm(R, Rj)
                 qi += 1
             elif joint.joint_type == PRISMATIC:
                 d = q[..., qi]
                 axis = jnp.asarray(self._axes[idx], dtype=dtype)
-                world_axis = jnp.einsum("...ij,j->...i", R, axis)
+                world_axis = rot(R, axis)
                 world_axes.append(world_axis)
                 world_origins.append(p)
                 p = p + d[..., None] * world_axis
