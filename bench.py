@@ -45,6 +45,14 @@ ROT_TOL = 0.01
 TIMED_REPS = 5
 
 
+# Degeneracy-rejecting differencing methodology (shared with the evaluate CLI
+# runtime column): see ikflow_tpu/utils/profiling.py.
+from ikflow_tpu.utils.profiling import (  # noqa: E402
+    DegenerateTimingError,
+    measure_per_iter_s,
+)
+
+
 def derive_retry_capacities(tier_counts, n_poses, n_tiers):
     """Per-tier capacity fractions from MEASURED cumulative valid counts.
 
@@ -64,7 +72,9 @@ def derive_retry_capacities(tier_counts, n_poses, n_tiers):
 
 
 def main() -> int:
-    from ikflow_tpu.config import MODEL_SEARCH_DIRS
+    from ikflow_tpu.config import MODEL_SEARCH_DIRS, enable_compile_cache
+
+    enable_compile_cache()
     from ikflow_tpu.flow import FlowHyperParams
     from ikflow_tpu.robots import get_robot
     from ikflow_tpu.solver import IKFlowSolver
@@ -145,42 +155,42 @@ def main() -> int:
         )
         return acc, jnp.min(valid_counts)
 
-    k_small, k_large = 2, 2 + TIMED_REPS
-    run_small = jax.jit(lambda p, t, k: chained(p, t, k, k_small))
-    run_large = jax.jit(lambda p, t, k: chained(p, t, k, k_large))
+    # Jitted chained-exact programs, cached per iteration count. ``chained``
+    # reads ``capacities`` from this scope at trace time, so the cache must be
+    # cleared whenever capacities change.
+    exact_jits = {}
+
+    def exact_jit(iters):
+        if iters not in exact_jits:
+            exact_jits[iters] = jax.jit(lambda p, t, k, _i=iters: chained(p, t, k, _i))
+        return exact_jits[iters]
+
+    def build_exact(iters):
+        fn = exact_jit(iters)
+        return lambda i: float(fn(solver.params, targets, jax.random.fold_in(ks, i))[0])
 
     t0 = time.time()
-    _, valid_count = run_small(solver.params, targets, ks)
+    _, valid_count = exact_jit(2)(solver.params, targets, ks)
     valid_count = int(valid_count)
     compile_s += time.time() - t0
     t0 = time.time()
-    float(run_large(solver.params, targets, ks)[0])  # compile large
+    float(exact_jit(2 + TIMED_REPS)(solver.params, targets, ks)[0])  # compile large
     compile_s += time.time() - t0
 
     # Guard: if the capped run converges fewer poses than the uncapped probe
     # (beyond noise), the capacity schedule is lying — rerun uncapped.
     if capacities is not None and valid_count / N_POSES < uncapped_valid_fraction - 0.005:
         capacities = None
-        run_small = jax.jit(lambda p, t, k: chained(p, t, k, k_small))
-        run_large = jax.jit(lambda p, t, k: chained(p, t, k, k_large))
+        exact_jits.clear()
         t0 = time.time()
-        _, valid_count = run_small(solver.params, targets, ks)
+        _, valid_count = exact_jit(2)(solver.params, targets, ks)
         valid_count = int(valid_count)
-        float(run_large(solver.params, targets, ks)[0])
+        float(exact_jit(2 + TIMED_REPS)(solver.params, targets, ks)[0])
         compile_s += time.time() - t0
 
-    def timed(fn):
-        ts = []
-        for i in range(3):
-            t0 = time.time()
-            float(fn(solver.params, targets, jax.random.fold_in(ks, i))[0])
-            ts.append(time.time() - t0)
-        return sorted(ts)[1]
-
-    t_small = timed(run_small)
-    t_large = timed(run_large)
-    per_solve_s = max(t_large - t_small, 1e-9) / (k_large - k_small)
-    median_s = per_solve_s
+    median_s = measure_per_iter_s(
+        build_exact, "exact-IK batch", k_deltas=(TIMED_REPS, 4 * TIMED_REPS)
+    )
     sols_per_s = N_POSES / median_s
 
     # Approximate-IK throughput (the reference's evaluate_inference_speed
@@ -199,26 +209,65 @@ def main() -> int:
         (_, acc), _ = jax.lax.scan(body, (key0, jnp.float32(0.0)), jnp.arange(iters))
         return acc, jnp.zeros(())
 
-    ka_small = jax.jit(lambda p, t, k: chained_approx(p, t, k, 8 * k_small))
-    ka_large = jax.jit(lambda p, t, k: chained_approx(p, t, k, 8 * k_large))
+    approx_jits = {}
+
+    def build_approx(iters):
+        # 8x the exact leg's iteration counts: one approx solve is ~100x
+        # cheaper, so the delta needs more iterations to clear timer noise.
+        if iters not in approx_jits:
+            approx_jits[iters] = jax.jit(
+                lambda p, t, k, _i=8 * iters: chained_approx(p, t, k, _i)
+            )
+        fn = approx_jits[iters]
+        return lambda i: float(fn(solver.params, targets, jax.random.fold_in(ks, i))[0])
+
     t0 = time.time()
-    float(ka_small(solver.params, targets, ks)[0])
-    float(ka_large(solver.params, targets, ks)[0])
+    build_approx(2)(0)
+    build_approx(2 + TIMED_REPS)(0)
     compile_s += time.time() - t0
-    approx_s = max(timed(ka_large) - timed(ka_small), 1e-9) / (8 * (k_large - k_small))
+    approx_s = measure_per_iter_s(
+        build_approx, "approx-IK batch", k_deltas=(TIMED_REPS, 4 * TIMED_REPS)
+    ) / 8.0
     approx_sols_per_s = N_POSES / approx_s
 
     # Single-pose p50 latency (the BASELINE.json "p50 latency per target
     # pose" axis): same differencing methodology on a 1-pose batch. jit
-    # retraces run_small/run_large for the (1, 7) shape automatically.
+    # retraces the chained program for the (1, 7) shape automatically. This
+    # leg's deltas are milliseconds against tunnel-RTT noise, so it is the
+    # most degeneracy-prone: on refusal it reports null instead of a number.
     one = targets[:1]
+
+    def build_single(iters):
+        fn = exact_jit(iters)
+        return lambda i: float(fn(solver.params, one, jax.random.fold_in(ks, i))[0])
+
     t0 = time.time()
-    float(run_small(solver.params, one, ks)[0])
-    float(run_large(solver.params, one, ks)[0])
+    build_single(2)(0)
+    build_single(2 + TIMED_REPS)(0)
     compile_s += time.time() - t0
-    t1s = timed(lambda p, t, k: run_small(p, one, k))
-    t1l = timed(lambda p, t, k: run_large(p, one, k))
-    single_pose_s = max(t1l - t1s, 1e-9) / (k_large - k_small)
+    try:
+        single_pose_s = measure_per_iter_s(
+            build_single, "single-pose exact-IK",
+            k_deltas=(TIMED_REPS, 8 * TIMED_REPS),
+        )
+    except DegenerateTimingError as e:
+        print(f"WARNING: {e}", file=sys.stderr)
+        single_pose_s = None
+
+    # ---- Physical sanity: refuse to emit impossible numbers (r2 shipped a
+    # 5e12-sols/s artifact; these checks make that a crash, not a JSON line).
+    if sols_per_s > 1.05 * approx_sols_per_s:
+        raise DegenerateTimingError(
+            f"exact-IK rate {sols_per_s:.0f}/s exceeds the approx-IK rate "
+            f"{approx_sols_per_s:.0f}/s — exact does strictly more work per "
+            f"solution, so one of the two measurements is corrupt"
+        )
+    if approx_sols_per_s > 5e7:
+        raise DegenerateTimingError(
+            f"approx-IK rate {approx_sols_per_s:.0f}/s exceeds the physical "
+            f"ceiling of this chip for a {hp.coeff_fn_internal_size}-wide "
+            f"{hp.nb_nodes}-block flow"
+        )
 
     result = {
         "metric": "exact_ik_solutions_per_s_per_chip",
@@ -230,7 +279,9 @@ def main() -> int:
         "tier_valid_counts": [int(c) for c in tier_counts],
         "p50_latency_ms_per_batch": round(1000 * median_s, 2),
         "approx_ik_solutions_per_s": round(approx_sols_per_s, 1),
-        "p50_single_pose_latency_ms": round(1000 * single_pose_s, 3),
+        "p50_single_pose_latency_ms": (
+            None if single_pose_s is None else round(1000 * single_pose_s, 3)
+        ),
         "compile_s": round(compile_s, 1),
         "weights": "trained" if weights_loaded else "random(untrained)",
         "retry_capacities": list(capacities) if capacities else "full",

@@ -38,6 +38,10 @@ def add_parser(sub):
     p.add_argument("--compare", action="store_true",
                    help="4-method comparison: flow-approx / native-LM / flow+LM exact / "
                         "native-LM seeded by flow (parity: scripts/benchmark_runtime.py)")
+    p.add_argument("--differencing", action="store_true",
+                   help="measure with RTT-cancelling chained-scan differencing (device "
+                        "time; refuses noise-dominated measurements) instead of per-call "
+                        "wall clock. Applies to --mode approx/exact/both.")
     p.set_defaults(func=run)
     return p
 
@@ -214,12 +218,24 @@ def run(args: argparse.Namespace) -> int:
         poses = robot.forward_kinematics(robot.sample_joint_angles(kp, n, joint_limit_eps=0.02))
 
         if args.mode in ("approx", "both"):
-            def go_approx():
-                out = solver.generate_ik_solutions(poses, key=ks, allow_uninitialized=args.uninitialized)
-                out.block_until_ready()
+            if args.differencing:
+                from ikflow_tpu.utils.benchtools import chained_approx_build
+                from ikflow_tpu.utils.profiling import DegenerateTimingError, measure_per_iter_s
 
-            t = _timed(go_approx, args.k)
-            rows.append({"mode": "approx", "batch": n, "seconds": t, "sols_per_s": n / t})
+                build = chained_approx_build(solver, poses, ks, scale_iters=8)
+                try:
+                    t = measure_per_iter_s(build, f"approx n={n}", k_deltas=(5, 20)) / 8.0
+                    rows.append({"mode": "approx", "batch": n, "seconds": t,
+                                 "sols_per_s": n / t, "methodology": "differencing"})
+                except DegenerateTimingError as e:
+                    rows.append({"mode": "approx", "batch": n, "error": str(e)})
+            else:
+                def go_approx():
+                    out = solver.generate_ik_solutions(poses, key=ks, allow_uninitialized=args.uninitialized)
+                    out.block_until_ready()
+
+                t = _timed(go_approx, args.k)
+                rows.append({"mode": "approx", "batch": n, "seconds": t, "sols_per_s": n / t})
 
         if args.mode in ("exact", "both"):
             def go_exact():
@@ -235,12 +251,31 @@ def run(args: argparse.Namespace) -> int:
                 sols.block_until_ready()
                 return valids
 
-            valids = go_exact()
-            t = _timed(lambda: go_exact(), args.k)
-            rows.append({
-                "mode": "exact", "batch": n, "seconds": t, "sols_per_s": n / t,
-                "valid_fraction": float(np.asarray(valids).mean()),
-            })
+            valids = go_exact()  # also serves as compile/warm for both paths
+            if args.differencing:
+                from ikflow_tpu.utils.benchtools import chained_exact_build
+                from ikflow_tpu.utils.profiling import DegenerateTimingError, measure_per_iter_s
+
+                build = chained_exact_build(
+                    solver, poses, ks, repeat_counts=tuple(args.repeat_counts),
+                    pos_tol=EXACT_POS_TOL, rot_tol=EXACT_ROT_TOL,
+                    n_opt_steps_max=args.n_opt_steps_max,
+                )
+                try:
+                    t = measure_per_iter_s(build, f"exact n={n}", k_deltas=(5, 20))
+                    rows.append({
+                        "mode": "exact", "batch": n, "seconds": t, "sols_per_s": n / t,
+                        "valid_fraction": float(np.asarray(valids).mean()),
+                        "methodology": "differencing",
+                    })
+                except DegenerateTimingError as e:
+                    rows.append({"mode": "exact", "batch": n, "error": str(e)})
+            else:
+                t = _timed(lambda: go_exact(), args.k)
+                rows.append({
+                    "mode": "exact", "batch": n, "seconds": t, "sols_per_s": n / t,
+                    "valid_fraction": float(np.asarray(valids).mean()),
+                })
 
     for r in rows:
         print(json.dumps(r))

@@ -32,6 +32,12 @@ def main(argv=None) -> int:
     visualize_cmd.add_parser(sub)
 
     args = parser.parse_args(argv)
+
+    # CLI entry points opt into the persistent XLA compile cache; plain
+    # library imports stay side-effect free (advisor item, r2).
+    from ikflow_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
     return args.func(args)
 
 

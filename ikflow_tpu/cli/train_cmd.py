@@ -34,6 +34,8 @@ def add_parser(sub):
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--gamma", type=float, default=0.9795)
     p.add_argument("--step_lr_every", type=int, default=int(2.5e6 / 64))
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear LR warmup steps (stabilizes 16-block stacks at large batch)")
     p.add_argument("--gradient_clip_val", type=float, default=1.0)
     p.add_argument("--n_steps", type=int, default=250_000)
     p.add_argument("--eval_every", type=int, default=20_000)
@@ -49,6 +51,11 @@ def add_parser(sub):
     p.add_argument("--export_dtype", type=str, default=None,
                    help="storage dtype for the deploy artifact (e.g. float16; halves the file, "
                         "cast back to model dtype at load)")
+    p.add_argument("--export_gate_mm", type=float, default=100.0,
+                   help="refuse the deploy export if final val l2 error exceeds this (mm); "
+                        "diverged weights must not ship silently")
+    p.add_argument("--export_force", action="store_true",
+                   help="bypass the export quality gate (the header still records the bad metric)")
     p.add_argument("--run_dir", type=str, default=None)
     p.add_argument("--data_parallel", action="store_true", help="shard batch over all devices")
     p.add_argument("--bf16_hidden", action="store_true", help="bfloat16 hidden matmuls (MXU)")
@@ -100,6 +107,7 @@ def run(args: argparse.Namespace) -> int:
         batch_size=args.batch_size,
         gamma=args.gamma,
         step_lr_every=args.step_lr_every,
+        warmup_steps=args.warmup_steps,
         gradient_clip=args.gradient_clip_val,
         n_steps=args.n_steps,
         eval_every=args.eval_every,
@@ -156,7 +164,8 @@ def run(args: argparse.Namespace) -> int:
         from ikflow_tpu.training.optimizers import make_optimizer
 
         opt_template = make_optimizer(
-            cfg.optimizer, cfg.learning_rate, cfg.gamma, cfg.step_lr_every, cfg.gradient_clip
+            cfg.optimizer, cfg.learning_rate, cfg.gamma, cfg.step_lr_every,
+            cfg.gradient_clip, cfg.warmup_steps,
         ).init(params)
         try:
             restored, start_step = restore_checkpoint(
@@ -236,12 +245,30 @@ def run(args: argparse.Namespace) -> int:
               f"final tr/loss={metrics.get('tr/loss', float('nan')):.4f}; run dir: {run_dir}")
 
     if args.export:
+        from ikflow_tpu.training.checkpoints import DeployQualityError
+
+        # Grade the final params so the artifact header carries its own
+        # quality and the gate has a fresh number (the last periodic eval can
+        # be up to eval_every steps stale).
+        key = jax.random.PRNGKey(cfg.seed + 7)
+        val = trainer.validate(params, dataset, key, end_step)
+        quality = {
+            "val_l2_error_mm": val.get("val/l2_error_mm", float("nan")),
+            "val_angular_error_deg": val.get("val/angular_error_deg", float("nan")),
+        }
         # metrics["step"] is the step actually reached (a --time_budget_s run
         # can stop well before n_steps).
-        path = export_deploy(
-            args.export, params, hp, robot.name,
-            global_step=int(metrics.get("step", cfg.n_steps)),
-            dtype=args.export_dtype,
-        )
-        print(f"exported deploy artifact -> {path}")
+        try:
+            path = export_deploy(
+                args.export, params, hp, robot.name,
+                global_step=int(metrics.get("step", cfg.n_steps)),
+                dtype=args.export_dtype,
+                quality=quality,
+                max_val_l2_mm=None if args.export_force else args.export_gate_mm,
+            )
+            print(f"exported deploy artifact -> {path} "
+                  f"(val l2 {quality['val_l2_error_mm']:.2f} mm)")
+        except DeployQualityError as e:
+            print(f"EXPORT REFUSED: {e}")
+            return 1
     return 0

@@ -40,16 +40,23 @@ ALL_DATASET_TAGS = [DATASET_TAG_NON_SELF_COLLIDING]
 # (parity: SIGMOID_SCALING_ABS_MAX, /root/reference/ikflow/config.py:31).
 SIGMOID_SCALING_ABS_MAX = 1.0
 
-# Persistent XLA compilation cache: over a tunneled/remote TPU backend a
-# single large program (the 500-step training scan, the tiered exact-IK
-# solve) takes minutes to compile, and watchdog-restarted trainers otherwise
-# pay it on every relaunch. Opt out with IKFLOW_TPU_NO_COMPILE_CACHE=1.
-if os.environ.get("IKFLOW_TPU_NO_COMPILE_CACHE", "0") != "1":
-    try:  # pragma: no cover - depends on backend support
-        jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE_DIR, "xla_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (explicit opt-in, no import side effect).
+
+    Over a tunneled/remote TPU backend a single large program (the 500-step
+    training scan, the tiered exact-IK solve) takes minutes to compile, and
+    watchdog-restarted trainers otherwise pay it on every relaunch. Called by
+    this package's CLI entry points, bench.py, and the test conftest — a plain
+    ``import ikflow_tpu`` never mutates process-global JAX config (an
+    application embedding the library keeps its own cache settings). Opt out
+    with IKFLOW_TPU_NO_COMPILE_CACHE=1.
+    """
+    if os.environ.get("IKFLOW_TPU_NO_COMPILE_CACHE", "0") != "1":
+        try:  # pragma: no cover - depends on backend support
+            jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE_DIR, "xla_cache"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception:
+            pass
 
 
 def ensure_cache_dirs() -> None:

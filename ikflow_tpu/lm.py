@@ -11,12 +11,21 @@ hops, no dynamic shapes.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ikflow_tpu.math.quaternion import geodesic_distance, quat_conjugate, quat_log_map, quat_mul
+
+# Matmul precision for the J^T J / J^T r normal-equation einsums. The r2
+# precision fix pinned BOTH the FK rotation chain (robots/chain.py:148-154)
+# and these einsums to "highest" to close a 935/1000 contract failure, at a
+# ~10% throughput cost; this knob lets the A/B isolate whether the normal
+# equations actually need it (the FK pin is not negotiable — it is what fixed
+# the contract). Values: "highest" (default) | "default" | "float32".
+NE_PRECISION = os.environ.get("IKFLOW_TPU_LM_NE_PRECISION", "highest")
 
 
 def cholesky_solve_small(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -82,8 +91,8 @@ def lm_step(
     pose, J = robot.fk_pose_and_jacobian(q)  # (n,7), (n,6,ndof)
     r = pose_residual(pose, target_poses)  # (n,6)
     ndof = q.shape[-1]
-    JtJ = jnp.einsum("nij,nik->njk", J, J, precision="highest") + lambd * jnp.eye(ndof, dtype=q.dtype)
-    Jtr = jnp.einsum("nij,ni->nj", J, r, precision="highest")
+    JtJ = jnp.einsum("nij,nik->njk", J, J, precision=NE_PRECISION) + lambd * jnp.eye(ndof, dtype=q.dtype)
+    Jtr = jnp.einsum("nij,ni->nj", J, r, precision=NE_PRECISION)
     dq = cholesky_solve_small(JtJ, Jtr)
     q_new = q + dq
     if clamp_to_limits:
@@ -164,8 +173,8 @@ def refine(
         cap_valid = cap_valid | valid
 
         err = jnp.sum(r * r, axis=-1)
-        JtJ = jnp.einsum("nij,nik->njk", J, J, precision="highest") + lam[:, None, None] * eye
-        Jtr = jnp.einsum("nij,ni->nj", J, r, precision="highest")
+        JtJ = jnp.einsum("nij,nik->njk", J, J, precision=NE_PRECISION) + lam[:, None, None] * eye
+        Jtr = jnp.einsum("nij,ni->nj", J, r, precision=NE_PRECISION)
         if clamp_to_limits:
             # Bound-constrained step (projected active set): a DOF pinned at a
             # limit whose descent direction points outward is frozen out of the

@@ -78,6 +78,12 @@ def _flatten_params(params) -> Dict[str, np.ndarray]:
     return flat
 
 
+class DeployQualityError(ValueError):
+    """Raised when a deploy export fails the quality gate (diverged/unconverged
+    weights must never ship silently — the r2 ``fetch__large`` artifact was
+    exported from a run whose own metrics said ``val/l2_error_mm: Infinity``)."""
+
+
 def export_deploy(
     path: str,
     params,
@@ -85,6 +91,8 @@ def export_deploy(
     robot_name: str,
     global_step: Optional[int] = None,
     dtype: Optional[str] = None,
+    quality: Optional[Dict[str, float]] = None,
+    max_val_l2_mm: Optional[float] = None,
 ) -> str:
     """Write the deploy artifact: params + hparams + robot in one .npz.
 
@@ -92,7 +100,22 @@ def export_deploy(
     are cast back to the model dtype at load time (``load_deploy``). The
     stored dtype is recorded in the header.
 
+    ``quality`` (e.g. ``{"val_l2_error_mm": 8.1}``) is embedded in the header
+    so the artifact is self-describing. When ``max_val_l2_mm`` is given, the
+    export REFUSES (raises :class:`DeployQualityError`) if the measured
+    ``val_l2_error_mm`` is missing/non-finite or exceeds the gate — callers
+    that deliberately ship an unconverged artifact must pass
+    ``max_val_l2_mm=None`` and the header will still carry the bad number.
+
     Returns the actual path written (np.savez appends '.npz' when missing)."""
+    if max_val_l2_mm is not None:
+        v = None if quality is None else quality.get("val_l2_error_mm")
+        if v is None or not np.isfinite(v) or v > max_val_l2_mm:
+            raise DeployQualityError(
+                f"refusing deploy export to {path!r}: val_l2_error_mm={v} "
+                f"fails the quality gate (max {max_val_l2_mm} mm). Pass "
+                f"max_val_l2_mm=None / --export_force to ship anyway."
+            )
     if not path.endswith(".npz"):
         path = path + ".npz"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -103,6 +126,9 @@ def export_deploy(
         "hyper_parameters": hyper_parameters.to_dict(),
         "stored_dtype": dtype or "native",
     }
+    if quality is not None:
+        header["quality"] = {k: float(v) for k, v in quality.items()}
+        header["quality_gate_mm"] = max_val_l2_mm
     flat = _flatten_params(params)
     if dtype is not None:
         flat = {k: v.astype(dtype) for k, v in flat.items()}

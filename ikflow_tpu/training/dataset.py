@@ -114,47 +114,64 @@ def build_dataset_resident(
     """
     ndof = robot.ndof
 
-    def one_chunk(k: jax.Array):
-        ks = jax.random.split(k, redraw_rounds + 1)
-        q = robot.sample_joint_angles(ks[0], chunk_size, joint_limit_eps)
-        if only_non_self_colliding and robot.capsules:
-            bad = robot.config_self_collides(q)
-
-            def body(carry, kk):
-                q, bad = carry
-                fresh = robot.sample_joint_angles(kk, chunk_size, joint_limit_eps)
-                q = jnp.where(bad[:, None], fresh, q)
+    def make_gen(chunk: int):
+        def one_chunk(k: jax.Array):
+            ks = jax.random.split(k, redraw_rounds + 1)
+            q = robot.sample_joint_angles(ks[0], chunk, joint_limit_eps)
+            if only_non_self_colliding and robot.capsules:
                 bad = robot.config_self_collides(q)
-                return (q, bad), bad.sum()
 
-            (q, bad), _ = jax.lax.scan(body, (q, bad), ks[1:])
-            # Residual bad rows borrow a (collision-free w.h.p.) neighbor.
-            q = jnp.where(bad[:, None], jnp.roll(q, 1, axis=0), q)
-        return q, robot.forward_kinematics(q)
+                def body(carry, kk):
+                    q, bad = carry
+                    fresh = robot.sample_joint_angles(kk, chunk, joint_limit_eps)
+                    q = jnp.where(bad[:, None], fresh, q)
+                    bad = robot.config_self_collides(q)
+                    return (q, bad), bad.sum()
 
-    def gen(k: jax.Array, n: int):
-        n_chunks = -(-n // chunk_size)
-        keys = jax.random.split(k, n_chunks)
+                (q, bad), _ = jax.lax.scan(body, (q, bad), ks[1:])
+                # Residual bad rows borrow a neighbor, skipping a neighbor
+                # that is itself still colliding (borrow two rows over
+                # instead). A leak now needs three adjacent rows all
+                # colliding after redraw_rounds rounds — p**(3*(rounds+1)),
+                # ~1e-27 at the ~4-6% collision rates of these robots.
+                bad_prev1 = jnp.roll(bad, 1)
+                borrow = jnp.where(
+                    bad_prev1[:, None], jnp.roll(q, 2, axis=0), jnp.roll(q, 1, axis=0)
+                )
+                q = jnp.where(bad[:, None], borrow, q)
+            return q, robot.forward_kinematics(q)
 
-        def body(_, kk):
-            return None, one_chunk(kk)
+        def gen(k: jax.Array, n: int):
+            n_chunks = -(-n // chunk)
+            keys = jax.random.split(k, n_chunks)
 
-        _, (qs, ps) = jax.lax.scan(body, None, keys)
-        return qs.reshape(-1, ndof)[:n], ps.reshape(-1, ps.shape[-1])[:n]
+            def body(_, kk):
+                return None, one_chunk(kk)
+
+            _, (qs, ps) = jax.lax.scan(body, None, keys)
+            return qs.reshape(-1, ndof)[:n], ps.reshape(-1, ps.shape[-1])[:n]
+
+        return gen
 
     key = jax.random.PRNGKey(seed)
     k_tr, k_te = jax.random.split(key)
-    samples_tr, endpoints_tr = jax.jit(gen, static_argnums=1)(k_tr, int(training_set_size))
-    te_q, te_p = jax.jit(gen, static_argnums=1)(k_te, int(test_set_size))
+    samples_tr, endpoints_tr = jax.jit(make_gen(chunk_size), static_argnums=1)(
+        k_tr, int(training_set_size)
+    )
+    # Test split: its own (small) chunk so a 15k split doesn't compile and run
+    # a full 1M-row generation program (advisor item, r2).
+    te_chunk = min(chunk_size, int(test_set_size))
+    te_q, te_p = jax.jit(make_gen(te_chunk), static_argnums=1)(k_te, int(test_set_size))
     samples_te, endpoints_te = np.asarray(te_q), np.asarray(te_p)
 
-    # Sanity checks mirroring build_dataset.py:112-122 — scalars only cross
-    # the host boundary.
-    stds = samples_tr.std(axis=0)
-    assert bool((stds > 0.001).all()), f"degenerate joint column: stds={np.asarray(stds)}"
+    # Sanity checks mirroring build_dataset.py:112-122, applied to BOTH splits
+    # (train checks stay on device — scalars only cross the host boundary).
     low = robot.limits_low() + joint_limit_eps
     high = robot.limits_high() - joint_limit_eps
-    assert bool(((samples_tr >= low - 1e-5) & (samples_tr <= high + 1e-5)).all())
+    for arr in (samples_tr, samples_te):
+        stds = arr.std(axis=0)
+        assert bool((stds > 0.001).all()), f"degenerate joint column: stds={np.asarray(stds)}"
+        assert bool(((arr >= low - 1e-5) & (arr <= high + 1e-5)).all())
     tags = (DATASET_TAG_NON_SELF_COLLIDING,) if only_non_self_colliding else ()
     return IkDataset(samples_tr, endpoints_tr, samples_te, endpoints_te, robot.name, tags)
 

@@ -23,14 +23,27 @@ import jax
 import optax
 
 
-def make_lr_schedule(learning_rate: float, gamma: float, step_lr_every: int) -> optax.Schedule:
-    """Stepped exponential decay applied per optimizer step (StepLR parity)."""
-    return optax.exponential_decay(
+def make_lr_schedule(
+    learning_rate: float, gamma: float, step_lr_every: int, warmup_steps: int = 0
+) -> optax.Schedule:
+    """Stepped exponential decay applied per optimizer step (StepLR parity).
+
+    ``warmup_steps`` > 0 prepends a linear 0 -> lr ramp: deep (16-block)
+    stacks at large batch are unstable at full LR from a cold start — the r2
+    ``fetch__large`` run diverged in the first 15.5k steps at lr 2e-4 / batch
+    2048 — and a short warmup is the standard fix. The decay schedule runs on
+    the post-warmup step count.
+    """
+    decay = optax.exponential_decay(
         init_value=learning_rate,
         transition_steps=step_lr_every,
         decay_rate=gamma,
         staircase=True,
     )
+    if warmup_steps <= 0:
+        return decay
+    warmup = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+    return optax.join_schedules([warmup, decay], [warmup_steps])
 
 
 class LookaheadState(NamedTuple):
@@ -82,8 +95,9 @@ def make_optimizer(
     gamma: float = 0.9795,
     step_lr_every: int = 39062,
     gradient_clip: Optional[float] = 1.0,
+    warmup_steps: int = 0,
 ) -> optax.GradientTransformation:
-    schedule = make_lr_schedule(learning_rate, gamma, step_lr_every)
+    schedule = make_lr_schedule(learning_rate, gamma, step_lr_every, warmup_steps)
     if name == "adamw":
         core = optax.adamw(schedule)
     elif name == "adam":

@@ -51,6 +51,7 @@ class TrainConfig:
     batch_size: int = 512
     gamma: float = 0.9795
     step_lr_every: int = 39062  # int(2.5e6 / 64)
+    warmup_steps: int = 0  # linear LR ramp; stabilizes deep stacks at large batch
     gradient_clip: float = 1.0
     n_steps: int = 20_000
     eval_every: int = 20_000
@@ -99,10 +100,13 @@ class Trainer:
 
         self.loss_fn = make_loss_fn(flow, robot.ndof)
         self.optimizer = make_optimizer(
-            config.optimizer, config.learning_rate, config.gamma, config.step_lr_every, config.gradient_clip
+            config.optimizer, config.learning_rate, config.gamma, config.step_lr_every,
+            config.gradient_clip, config.warmup_steps,
         )
-        self.lr_schedule = optax.exponential_decay(
-            config.learning_rate, config.step_lr_every, config.gamma, staircase=True
+        from ikflow_tpu.training.optimizers import make_lr_schedule
+
+        self.lr_schedule = make_lr_schedule(
+            config.learning_rate, config.gamma, config.step_lr_every, config.warmup_steps
         )
         self._step_fn = self._build_step()
         self._val_fn = None

@@ -20,3 +20,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compile cache (explicit opt-in — library imports no longer
+# set it; repeated suite runs reuse compiled programs).
+from ikflow_tpu.config import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()

@@ -4,6 +4,8 @@ generation, short-run loss decrease, checkpoint round-trips."""
 import os
 import tempfile
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -305,3 +307,54 @@ def test_fit_on_device_time_budget_reports_early_step():
     # Budget of 0 stops after the first window: step == steps_per_call.
     assert metrics["step"] == 5
     assert metrics["step"] < cfg.n_steps
+
+
+def test_warmup_schedule_ramps_then_decays():
+    from ikflow_tpu.training.optimizers import make_lr_schedule
+
+    sched = make_lr_schedule(1e-3, 0.5, 100, warmup_steps=50)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(25)), 5e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(50)), 1e-3, rtol=1e-5)
+    # Decay restarts its own count at the warmup boundary.
+    np.testing.assert_allclose(float(sched(50 + 100)), 5e-4, rtol=1e-5)
+    # warmup_steps=0 keeps the plain stepped decay.
+    plain = make_lr_schedule(1e-3, 0.5, 100, warmup_steps=0)
+    np.testing.assert_allclose(float(plain(0)), 1e-3, rtol=1e-6)
+
+
+def test_export_deploy_quality_gate():
+    """Diverged weights must not ship silently (r2 fetch__large incident)."""
+    from ikflow_tpu.training.checkpoints import (
+        DeployQualityError,
+        export_deploy,
+        load_deploy,
+    )
+
+    hp, robot, flow, params, q, poses = _setup()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.npz")
+        # Over-gate value refuses.
+        with pytest.raises(DeployQualityError):
+            export_deploy(path, params, hp, "panda",
+                          quality={"val_l2_error_mm": 427.6}, max_val_l2_mm=100.0)
+        # Non-finite refuses (the r2 run's own metrics said Infinity).
+        with pytest.raises(DeployQualityError):
+            export_deploy(path, params, hp, "panda",
+                          quality={"val_l2_error_mm": float("inf")}, max_val_l2_mm=100.0)
+        # Missing quality refuses when a gate is requested.
+        with pytest.raises(DeployQualityError):
+            export_deploy(path, params, hp, "panda", quality=None, max_val_l2_mm=100.0)
+        assert not os.path.exists(path)
+        # Passing value exports and self-describes.
+        export_deploy(path, params, hp, "panda",
+                      quality={"val_l2_error_mm": 7.9}, max_val_l2_mm=100.0)
+        _, header = load_deploy(path, params)
+        assert header["quality"]["val_l2_error_mm"] == pytest.approx(7.9)
+        assert header["quality_gate_mm"] == 100.0
+        # Gate off (forced) ships a bad artifact but records the bad number.
+        forced = os.path.join(d, "forced.npz")
+        export_deploy(forced, params, hp, "panda",
+                      quality={"val_l2_error_mm": 427.6}, max_val_l2_mm=None)
+        _, fheader = load_deploy(forced, params)
+        assert fheader["quality"]["val_l2_error_mm"] == pytest.approx(427.6)
