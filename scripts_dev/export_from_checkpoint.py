@@ -29,12 +29,14 @@ def main() -> int:
     ap.add_argument("--dim_latent_space", type=int, required=True)
     ap.add_argument("--dtype", type=str, default=None,
                     help="storage dtype for the artifact (e.g. float16); native when omitted")
+    ap.add_argument("--sigmoid_on_output", action="store_true")
     args = ap.parse_args()
 
     robot = get_robot(args.robot_name)
     hp = FlowHyperParams()
     hp.nb_nodes = args.nb_nodes
     hp.dim_latent_space = args.dim_latent_space
+    hp.sigmoid_on_output = args.sigmoid_on_output
     flow = build_flow(hp, robot)
     # Orbax restores to the sharding recorded at save time (TPU); on this CPU
     # process we must hand it a CPU-resident template of the exact saved tree
