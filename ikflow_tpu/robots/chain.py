@@ -85,6 +85,7 @@ class KinematicChain:
         joints: Sequence[Joint],
         capsules: Sequence[Capsule] = (),
         collision_ignore_pairs: Sequence[Tuple[int, int]] = (),
+        calibration_configs: Optional[Sequence[Sequence[float]]] = None,
         dtype=jnp.float32,
     ):
         self.name = name
@@ -111,6 +112,10 @@ class KinematicChain:
 
         # Collision model.
         self.capsules = tuple(capsules)
+        self._calibration_configs = (
+            None if calibration_configs is None
+            else [np.asarray(c, dtype=np.float64) for c in calibration_configs]
+        )
         self._collision_pairs = self._build_collision_pairs(collision_ignore_pairs)
 
         self._jit_cache = {}
@@ -350,11 +355,17 @@ class KinematicChain:
         self-collision, while genuinely articulable pairs (hand vs base, wrist
         vs upper arm) are far apart in those poses and stay in the list. Same
         role as the curated capsule-pair list jrl ships per robot.
+
+        The calibration configs MUST be collision-free poses of the real
+        robot: a config where two far links genuinely touch (e.g. Panda at
+        q=0, hand folded onto the forearm) would silently whitelist that
+        pair. Robots whose clamped-zero pose is not valid pass explicit
+        ``calibration_configs`` (e.g. the Franka "ready" pose).
         """
         if not self.capsules:
             return tuple()
         ignore_set = {tuple(sorted(p)) for p in ignore}
-        ref_configs = [
+        ref_configs = self._calibration_configs or [
             0.5 * (self._limits_low + self._limits_high),
             np.clip(np.zeros(self._ndof), self._limits_low, self._limits_high),
         ]

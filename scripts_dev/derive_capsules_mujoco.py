@@ -1,0 +1,405 @@
+"""Derive measured self-collision capsules for Panda and Fetch from the MuJoCo
+models shipped in ``gymnasium_robotics`` (public Apache-2.0 assets present in
+this image), and validate both the old hand-authored skeleton capsules and the
+newly fitted set against MuJoCo's mesh narrow-phase as ground truth.
+
+Addresses VERDICT r2 "missing #5": the r1/r2 capsule geometry was
+hand-approximated (uniform radius 0.05) and never validated against anything.
+The reference's jrl ships measured capsules; jrl is not installable here
+(zero egress), but the MuJoCo Franka (kitchen_franka, mesh collision geoms)
+and Fetch (openai fetch, mesh collision geoms) models provide both a source
+of measured geometry and an independent narrow-phase oracle.
+
+Method:
+1. Verify kinematic alignment model-vs-chain (body origins match our FK frames
+   to ~1e-4 m; the Franka MJCF carries joint-zero offsets of -1.57 / -0.7854
+   rad on joints 6/7 relative to the official convention).
+2. For every collision-enabled geom, collect its surface points (mesh vertices
+   or primitive analytic points) expressed in the matching chain frame
+   (bodies on un-modeled joints — head, fingers — are folded into their
+   carrier frame at a fixed configuration).
+3. Fit one capsule per geom group: PCA principal axis, endpoints at the
+   extreme axial projections pulled in by the radius, radius at the q-th
+   percentile of radial distance (a capsule that covers ~all of the mesh).
+4. Validate: sample uniform in-limit configs, compare our vectorized
+   capsule-pair predicate (old set and new set) against MuJoCo contacts
+   between non-adjacent frame groups.
+
+Run on CPU; writes the fitted capsule table to stdout as Python literals for
+baking into ``ikflow_tpu/robots/library.py``.
+"""
+
+from __future__ import annotations
+
+import _pathfix  # noqa: F401
+
+import argparse
+import os
+
+import numpy as np
+
+ASSETS = "/opt/venv/lib/python3.12/site-packages/gymnasium_robotics/envs/assets"
+WORKDIR = "/tmp/mjderive"
+
+
+# ---------------------------------------------------------------------------
+# Robot-only MJCF wrappers.
+# ---------------------------------------------------------------------------
+
+
+def load_models():
+    import mujoco as mj
+
+    os.makedirs(WORKDIR, exist_ok=True)
+    link = os.path.join(WORKDIR, "franka_assets")
+    if not os.path.islink(link):
+        os.symlink(os.path.join(ASSETS, "kitchen_franka", "franka_assets"), link)
+    fr_xml = f"""
+<mujoco model="franka_only">
+  <include file="{ASSETS}/kitchen_franka/franka_assets/assets.xml"/>
+  <worldbody>
+    <include file="{ASSETS}/kitchen_franka/franka_assets/chain.xml"/>
+  </worldbody>
+</mujoco>"""
+    fe_xml = f"""
+<mujoco model="fetch_only">
+  <compiler angle="radian" coordinate="local" meshdir="{ASSETS}/stls/fetch" texturedir="{ASSETS}/textures"/>
+  <include file="{ASSETS}/fetch/shared.xml"/>
+  <worldbody>
+    <include file="{ASSETS}/fetch/robot.xml"/>
+  </worldbody>
+</mujoco>"""
+    fr_path = os.path.join(WORKDIR, "franka_only.xml")
+    fe_path = os.path.join(WORKDIR, "fetch_only.xml")
+    with open(fr_path, "w") as f:
+        f.write(fr_xml)
+    with open(fe_path, "w") as f:
+        f.write(fe_xml)
+    return mj.MjModel.from_xml_path(fr_path), mj.MjModel.from_xml_path(fe_path)
+
+
+# ---------------------------------------------------------------------------
+# Geometry extraction.
+# ---------------------------------------------------------------------------
+
+
+def quat_to_R(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def geom_points_bodyframe(m, g):
+    """Surface points of geom ``g`` in its body frame."""
+    import mujoco as mj
+
+    gp, gq = m.geom_pos[g], m.geom_quat[g]
+    R = quat_to_R(gq)
+    t = int(m.geom_type[g])
+    size = m.geom_size[g]
+    if t == mj.mjtGeom.mjGEOM_MESH:
+        mid = m.geom_dataid[g]
+        adr, num = m.mesh_vertadr[mid], m.mesh_vertnum[mid]
+        v = m.mesh_vert[adr:adr + num]
+        return gp + v @ R.T
+    if t == mj.mjtGeom.mjGEOM_CAPSULE:
+        r, hl = size[0], size[1]
+        ends = np.array([[0, 0, -hl - r], [0, 0, hl + r], [r, 0, -hl], [-r, 0, -hl],
+                         [0, r, -hl], [0, -r, -hl], [r, 0, hl], [-r, 0, hl],
+                         [0, r, hl], [0, -r, hl]])
+        return gp + ends @ R.T
+    if t == mj.mjtGeom.mjGEOM_BOX:
+        sx, sy, sz = size
+        corners = np.array([[i, j, k] for i in (-sx, sx) for j in (-sy, sy) for k in (-sz, sz)])
+        return gp + corners @ R.T
+    if t == mj.mjtGeom.mjGEOM_SPHERE:
+        r = size[0]
+        pts = np.array([[r, 0, 0], [-r, 0, 0], [0, r, 0], [0, -r, 0], [0, 0, r], [0, 0, -r]])
+        return gp + pts @ R.T
+    raise ValueError(f"unhandled geom type {t}")
+
+
+def fit_capsule(points, radius_pct=97.0):
+    """Fit (p0, p1, radius) covering ``points`` (n, 3)."""
+    c = points.mean(axis=0)
+    X = points - c
+    _, _, Vt = np.linalg.svd(X, full_matrices=False)
+    axis = Vt[0]
+    t = X @ axis
+    radial = np.linalg.norm(X - np.outer(t, axis), axis=1)
+    r = float(np.percentile(radial, radius_pct))
+    t_lo, t_hi = float(t.min()), float(t.max())
+    # Cap spheres cover the axial ends: pull endpoints in by r (not past middle).
+    mid = 0.5 * (t_lo + t_hi)
+    a = min(t_lo + r, mid)
+    b = max(t_hi - r, mid)
+    return c + a * axis, c + b * axis, r
+
+
+def fit_capsules_split(points, radius_pct=97.0, max_segments=3):
+    """Fit 1..max_segments capsules by recursive axial bisection.
+
+    A single capsule over a tapered or bent hull inherits the radius of its
+    fattest section everywhere; splitting the vertex set at the median axial
+    projection and refitting each half keeps coverage while shrinking the
+    radii. A split is accepted when it meaningfully tightens the fat end
+    (max child radius < 0.85x parent radius).
+    """
+    p0, p1, r = fit_capsule(points, radius_pct)
+    if max_segments <= 1 or len(points) < 16:
+        return [(p0, p1, r)]
+    c = points.mean(axis=0)
+    X = points - c
+    _, _, Vt = np.linalg.svd(X, full_matrices=False)
+    t = X @ Vt[0]
+    med = np.median(t)
+    lo, hi = points[t <= med], points[t > med]
+    if len(lo) < 8 or len(hi) < 8:
+        return [(p0, p1, r)]
+    fits_lo = fit_capsules_split(lo, radius_pct, max_segments - 1)
+    fits_hi = fit_capsules_split(hi, radius_pct, max_segments - 1)
+    if max(f[2] for f in fits_lo + fits_hi) < 0.85 * r:
+        return fits_lo + fits_hi
+    return [(p0, p1, r)]
+
+
+# ---------------------------------------------------------------------------
+# Per-robot derivations.
+# ---------------------------------------------------------------------------
+
+
+def body_rel_transform(m, d, child, parent):
+    """(R, p) of ``child`` body frame expressed in ``parent`` body frame, at
+    the configuration currently in ``d`` (mj_forward already called)."""
+    import mujoco as mj
+
+    ci = mj.mj_name2id(m, mj.mjtObj.mjOBJ_BODY, child)
+    pi = mj.mj_name2id(m, mj.mjtObj.mjOBJ_BODY, parent)
+    Rc, pc = d.xmat[ci].reshape(3, 3), d.xpos[ci]
+    Rp, pp = d.xmat[pi].reshape(3, 3), d.xpos[pi]
+    return Rp.T @ Rc, Rp.T @ (pc - pp)
+
+
+def derive_panda(m):
+    """Returns [(frame_index, p0, p1, r), ...] for the Panda chain."""
+    import mujoco as mj
+
+    d = mj.MjData(m)
+    d.qpos[:] = 0.0  # fingers closed; arm config irrelevant for per-body fits
+    mj.mj_forward(m, d)
+
+    caps = []
+    # Arm link meshes: body panda0_linkN frame == our frame N (alignment-checked).
+    for N in range(0, 8):
+        bid = mj.mj_name2id(m, mj.mjtObj.mjOBJ_BODY, f"panda0_link{N}")
+        geoms = [g for g in range(m.ngeom)
+                 if m.geom_bodyid[g] == bid and m.geom_contype[g]
+                 and int(m.geom_type[g]) == mj.mjtGeom.mjGEOM_MESH]
+        for g in geoms:
+            pts = geom_points_bodyframe(m, g)
+            # link7 carries both the link mesh and the hand mesh: fit separately.
+            for p0, p1, r in fit_capsules_split(pts):
+                caps.append((N, tuple(p0), tuple(p1), r))
+    # Fingers (at closed config) folded into link7's frame: one capsule over
+    # all finger geoms of both fingers.
+    l7 = "panda0_link7"
+    pts_all = []
+    for fb in ("panda0_leftfinger", "panda0_rightfinger"):
+        R, p = body_rel_transform(m, d, fb, l7)
+        bid = mj.mj_name2id(m, mj.mjtObj.mjOBJ_BODY, fb)
+        for g in range(m.ngeom):
+            if m.geom_bodyid[g] == bid and m.geom_contype[g]:
+                pts_all.append(p + geom_points_bodyframe(m, g) @ R.T)
+    for p0, p1, r in fit_capsules_split(np.concatenate(pts_all, axis=0)):
+        caps.append((7, tuple(p0), tuple(p1), r))
+    return caps
+
+
+def derive_fetch(m):
+    """Returns [(frame_index, p0, p1, r), ...] for the Fetch chain."""
+    import mujoco as mj
+
+    d = mj.MjData(m)
+    d.qpos[:] = 0.0  # head/fingers at zero; torso at 0 (mj range low is 0.0386
+    # but body-relative fits don't depend on it)
+    mj.mj_forward(m, d)
+
+    # body name -> (our frame index, carrier body whose frame == our frame)
+    direct = {
+        "robot0:base_link": 0,
+        "robot0:torso_lift_link": 1,
+        "robot0:shoulder_pan_link": 2,
+        "robot0:shoulder_lift_link": 3,
+        "robot0:upperarm_roll_link": 4,
+        "robot0:elbow_flex_link": 5,
+        "robot0:forearm_roll_link": 6,
+        "robot0:wrist_flex_link": 7,
+        "robot0:wrist_roll_link": 8,
+        "robot0:gripper_link": 9,
+    }
+    # Bodies on un-modeled joints / fixed children folded into a carrier frame.
+    folded = {
+        "robot0:head_pan_link": "robot0:torso_lift_link",
+        "robot0:head_tilt_link": "robot0:torso_lift_link",
+        "robot0:torso_fixed_link": "robot0:base_link",
+        "robot0:estop_link": "robot0:base_link",
+        "robot0:laser_link": "robot0:base_link",
+        "robot0:r_gripper_finger_link": "robot0:gripper_link",
+        "robot0:l_gripper_finger_link": "robot0:gripper_link",
+    }
+    caps = []
+    for bname, fi in direct.items():
+        bid = mj.mj_name2id(m, mj.mjtObj.mjOBJ_BODY, bname)
+        for g in range(m.ngeom):
+            if m.geom_bodyid[g] == bid and m.geom_contype[g]:
+                for p0, p1, r in fit_capsules_split(geom_points_bodyframe(m, g)):
+                    caps.append((fi, tuple(p0), tuple(p1), r))
+    # Head as one capsule, fingers as one capsule, base extras individually.
+    groups = {}
+    for bname, carrier in folded.items():
+        groups.setdefault(carrier, {})
+        key = ("head" if "head" in bname else
+               "finger" if "finger" in bname else bname)
+        groups[carrier].setdefault(key, []).append(bname)
+    for carrier, sub in groups.items():
+        fi = direct[carrier]
+        for key, bodies in sub.items():
+            pts_all = []
+            for bname in bodies:
+                R, p = body_rel_transform(m, d, bname, carrier)
+                bid = mj.mj_name2id(m, mj.mjtObj.mjOBJ_BODY, bname)
+                for g in range(m.ngeom):
+                    if m.geom_bodyid[g] == bid and m.geom_contype[g]:
+                        pts_all.append(p + geom_points_bodyframe(m, g) @ R.T)
+            for p0, p1, r in fit_capsules_split(np.concatenate(pts_all, axis=0)):
+                caps.append((fi, tuple(p0), tuple(p1), r))
+    return caps
+
+
+# ---------------------------------------------------------------------------
+# MuJoCo narrow-phase oracle + validation.
+# ---------------------------------------------------------------------------
+
+
+def make_oracle(m, joint_names, frame_of_body, offsets=None):
+    """Returns oracle(q) -> bool: does MuJoCo report a contact between geoms
+    whose frame groups differ by more than 1 (the same structural-adjacency
+    rule our pair list uses)?"""
+    import mujoco as mj
+
+    d = mj.MjData(m)
+    qadr = [m.jnt_qposadr[mj.mj_name2id(m, mj.mjtObj.mjOBJ_JOINT, n)] for n in joint_names]
+    geom_frame = np.full(m.ngeom, -1)
+    for g in range(m.ngeom):
+        if not m.geom_contype[g]:
+            continue
+        bname = mj.mj_id2name(m, mj.mjtObj.mjOBJ_BODY, int(m.geom_bodyid[g]))
+        if bname in frame_of_body:
+            geom_frame[g] = frame_of_body[bname]
+
+    def oracle(q):
+        d.qpos[:] = 0.0
+        for i, adr in enumerate(qadr):
+            d.qpos[adr] = q[i] + (offsets[i] if offsets is not None else 0.0)
+        mj.mj_forward(m, d)
+        for c in range(d.ncon):
+            con = d.contact[c]
+            if con.dist > 0:
+                continue
+            fa, fb = geom_frame[con.geom1], geom_frame[con.geom2]
+            if fa < 0 or fb < 0:
+                continue
+            if abs(fa - fb) <= 1:
+                continue
+            return True
+        return False
+
+    return oracle
+
+
+def validate(robot, oracle, n=2000, seed=0):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp  # noqa: F401
+
+    q = np.asarray(robot.sample_joint_angles(jax.random.PRNGKey(seed), n, 0.02),
+                   dtype=np.float64)
+    ours = np.asarray(robot.config_self_collides(q))
+    truth = np.array([oracle(qi) for qi in q])
+    tp = int((ours & truth).sum())
+    fp = int((ours & ~truth).sum())
+    fn = int((~ours & truth).sum())
+    tn = int((~ours & ~truth).sum())
+    return {
+        "n": n, "oracle_rate": truth.mean(), "ours_rate": ours.mean(),
+        "agreement": (tp + tn) / n,
+        "miss_rate_of_true_collisions": fn / max(tp + fn, 1),
+        "false_alarm_rate_of_clean": fp / max(fp + tn, 1),
+        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2000)
+    ap.add_argument("--fit_only", action="store_true")
+    args = ap.parse_args()
+
+    m_fr, m_fe = load_models()
+
+    print("# ---- Panda capsules (from kitchen_franka collision meshes) ----")
+    for fi, p0, p1, r in derive_panda(m_fr):
+        print(f"Capsule(frame_index={fi}, p0=({p0[0]:.4f}, {p0[1]:.4f}, {p0[2]:.4f}), "
+              f"p1=({p1[0]:.4f}, {p1[1]:.4f}, {p1[2]:.4f}), radius={r:.4f}),")
+    print("# ---- Fetch capsules (from openai-fetch collision meshes) ----")
+    for fi, p0, p1, r in derive_fetch(m_fe):
+        print(f"Capsule(frame_index={fi}, p0=({p0[0]:.4f}, {p0[1]:.4f}, {p0[2]:.4f}), "
+              f"p1=({p1[0]:.4f}, {p1[1]:.4f}, {p1[2]:.4f}), radius={r:.4f}),")
+
+    if args.fit_only:
+        return 0
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from ikflow_tpu.robots import get_robot
+
+    # Panda oracle.
+    offsets = np.zeros(7)
+    offsets[5] = -1.57
+    offsets[6] = -0.7854
+    frame_of_body = {f"panda0_link{N}": N for N in range(8)}
+    frame_of_body["panda0_leftfinger"] = 7
+    frame_of_body["panda0_rightfinger"] = 7
+    oracle = make_oracle(
+        m_fr, [f"robot:panda0_joint{i}" for i in range(1, 8)], frame_of_body, offsets
+    )
+    print("panda:", validate(get_robot("panda"), oracle, n=args.n))
+
+    # Fetch oracle.
+    fetch_frames = {
+        "robot0:base_link": 0, "robot0:torso_lift_link": 1,
+        "robot0:shoulder_pan_link": 2, "robot0:shoulder_lift_link": 3,
+        "robot0:upperarm_roll_link": 4, "robot0:elbow_flex_link": 5,
+        "robot0:forearm_roll_link": 6, "robot0:wrist_flex_link": 7,
+        "robot0:wrist_roll_link": 8, "robot0:gripper_link": 9,
+        "robot0:head_pan_link": 1, "robot0:head_tilt_link": 1,
+        "robot0:torso_fixed_link": 0, "robot0:estop_link": 0,
+        "robot0:laser_link": 0,
+        "robot0:r_gripper_finger_link": 9, "robot0:l_gripper_finger_link": 9,
+    }
+    fetch_joints = ["robot0:torso_lift_joint", "robot0:shoulder_pan_joint",
+                    "robot0:shoulder_lift_joint", "robot0:upperarm_roll_joint",
+                    "robot0:elbow_flex_joint", "robot0:forearm_roll_joint",
+                    "robot0:wrist_flex_joint", "robot0:wrist_roll_joint"]
+    oracle_fe = make_oracle(m_fe, fetch_joints, fetch_frames)
+    print("fetch:", validate(get_robot("fetch"), oracle_fe, n=args.n))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -115,12 +115,17 @@ def test_joint_limits_exceeded_truth_table():
 
 def test_panda_self_collision_sane():
     robot = get_robot("panda")
-    # Known-valid reference poses are collision free (exact zero is outside
-    # Panda's joint-4 limits, so use the clamped-zero and center configs).
-    q_zero = robot.clamp_to_joint_limits(jnp.zeros((1, 7)))
+    # Known-valid reference poses are collision free: the joint-range center
+    # and the Franka "ready" pose. NOTE: the clamped-zero pose is NOT valid —
+    # MuJoCo's mesh narrow-phase confirms q6=0 folds the hand onto the
+    # forearm (a real self-collision the r1/r2 skeleton capsules missed).
     q_center = 0.5 * (robot.limits_low() + robot.limits_high())[None, :]
-    assert not bool(robot.config_self_collides(q_zero)[0])
+    q_ready = jnp.array([[0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785]])
     assert not bool(robot.config_self_collides(q_center)[0])
+    assert not bool(robot.config_self_collides(q_ready)[0])
+    # The clamped-zero hand-on-forearm fold must be DETECTED.
+    q_zero = robot.clamp_to_joint_limits(jnp.zeros((1, 7)))
+    assert bool(robot.config_self_collides(q_zero)[0])
     # Random configs: some collide, most don't.
     q = robot.sample_joint_angles(jax.random.PRNGKey(5), 2000)
     rate = float(np.asarray(robot.config_self_collides(q)).mean())
