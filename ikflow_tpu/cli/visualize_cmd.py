@@ -19,6 +19,9 @@ def add_parser(sub):
     p.add_argument("--output", type=str, default=None)
     p.add_argument("--n_frames", type=int, default=40)
     p.add_argument("--uninitialized", action="store_true")
+    p.add_argument("--interactive", action="store_true",
+                   help="write a self-contained interactive 3-D .html scene "
+                        "(orbit/zoom/scrub, no dependencies) instead of PNG/GIF")
     p.set_defaults(func=run)
     return p
 
@@ -38,6 +41,25 @@ def run(args: argparse.Namespace) -> int:
         assert args.robot_name, "need --model_name or --robot_name"
         robot = get_robot(args.robot_name)
         solver = IKFlowSolver(FlowHyperParams(), robot)
+
+    if args.interactive:
+        from ikflow_tpu import viz_interactive as ivz
+
+        out = args.output or f"{robot.name}__{args.demo_name}.html"
+        if args.demo_name == "visualize_fk":
+            path = ivz.interactive_fk(robot, out_path=out)
+        elif args.demo_name == "oscillate_target":
+            path = ivz.interactive_oscillate_target(
+                solver, n_frames=args.n_frames, out_path=out,
+                allow_uninitialized=args.uninitialized,
+            )
+        else:  # oscillate_latent (and oscillate_joints falls back to latent sweep)
+            path = ivz.interactive_oscillate_latent(
+                solver, n_frames=args.n_frames, out_path=out,
+                allow_uninitialized=args.uninitialized,
+            )
+        print(f"wrote {path}")
+        return 0
 
     ext = "png" if args.demo_name == "visualize_fk" else "gif"
     out = args.output or f"{robot.name}__{args.demo_name}.{ext}"

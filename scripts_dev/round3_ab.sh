@@ -40,14 +40,17 @@ with open("PRECISION_AB_r03.json", "w") as f:
 print("wrote PRECISION_AB_r03.json")
 EOF
 
-# ---- 2. XLA vs Pallas A/B (both with NE default left at module default).
-run_bench xla_r3
+# ---- 2. XLA vs Pallas A/B. The ne_highest leg above IS the current-default
+# XLA leg — reuse it rather than re-measuring the same program.
+cp "$OUT/bench_ne_highest.json" "$OUT/bench_xla_r3.json"
 run_bench pallas_r3 IKFLOW_TPU_BENCH_PALLAS=1
+# Candidate throughput config: bf16 hidden matmuls for the seed pass.
+run_bench bf16_r3 IKFLOW_TPU_BENCH_BF16=1
 python - <<'EOF'
 import json
 out = {}
 base = "/root/.cache/ikflow_tpu/training_logs"
-for tag, key in (("xla_r3", "xla"), ("pallas_r3", "pallas")):
+for tag, key in (("xla_r3", "xla"), ("pallas_r3", "pallas"), ("bf16_r3", "xla+bf16")):
     try:
         with open(f"{base}/bench_{tag}.json") as f:
             line = [l for l in f if l.strip().startswith("{")][-1]

@@ -50,3 +50,25 @@ def test_utils_parity():
         boolean_string("maybe")
     stats = tensor_stats(np.array([1.0, 2.0, 3.0]), "x")
     assert stats["mean"] == 2.0 and stats["n_nan"] == 0
+
+
+def test_visualize_interactive_html(tmp_path):
+    """--interactive writes a self-contained orbitable 3-D scene: all template
+    placeholders substituted, JSON payload shaped as the renderer expects."""
+    import json
+    import re
+
+    from ikflow_tpu.cli.main import main
+
+    out = str(tmp_path / "scene.html")
+    rc = main(["visualize", "--robot_name", "panda", "--demo_name", "oscillate_target",
+               "--interactive", "--uninitialized", "--n_frames", "4", "--output", out])
+    assert rc == 0
+    html = open(out).read()
+    assert "__DATA__" not in html and "__TITLE__" not in html
+    data = json.loads(re.search(r"const DATA = (\{.*?\});\n", html, re.S).group(1))
+    assert len(data["frames"]) == 4
+    f0 = data["frames"][0]
+    assert len(f0["sols"]) == 6 and len(f0["target"]) == 3
+    cap = f0["sols"][0][0]
+    assert len(cap) == 3 and len(cap[0]) == 3
