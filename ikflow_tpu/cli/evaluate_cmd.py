@@ -71,6 +71,9 @@ def add_parser(sub):
 
     p.add_argument("--runtime_k", type=_positive_int, default=5)
     p.add_argument("--do_refinement", action="store_true")
+    p.add_argument("--self_colliding_dataset", action="store_true",
+                   help="evaluate on an UNfiltered testset (the reference defaults to a "
+                        "non-self-colliding testset, evaluate.py:195)")
     p.add_argument("--uninitialized", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--all", dest="eval_all", action="store_true",
@@ -103,9 +106,17 @@ def _run_all(args: argparse.Namespace) -> int:
         robot = solver.robot
         key = jax.random.PRNGKey(args.seed)
         k1, k2 = jax.random.split(key)
-        testset = robot.forward_kinematics(
-            robot.sample_joint_angles(k1, args.testset_size, joint_limit_eps=0.02)
-        )
+        # Non-self-colliding testset by default (parity: evaluate.py:137-138,
+        # :195 — the reference evaluates on nsc poses unless told otherwise).
+        if args.self_colliding_dataset:
+            testset = robot.forward_kinematics(
+                robot.sample_joint_angles(k1, args.testset_size, joint_limit_eps=0.02)
+            )
+        else:
+            _, testset = robot.sample_joint_angles_and_poses(
+                k1, args.testset_size, joint_limit_eps=0.02,
+                only_non_self_colliding=True, oversample_factor=4,
+            )
         poses_t = jnp.repeat(testset, args.n_samples_for_errors, axis=0)
         sols = solver.generate_ik_solutions(
             poses_t, latent_distribution=DEFAULT_LATENT_DISTRIBUTION,
@@ -150,7 +161,12 @@ def _run_all(args: argparse.Namespace) -> int:
             "\n\\* device time via RTT-cancelling chained-scan differencing "
             "(same methodology as bench.py); rows marked \"(rtt)\" fell back "
             "to per-call wall clock and include host-device tunnel round-trip "
-            "time.\n"
+            "time.\n\n"
+            "Self-collision grading uses the measured MuJoCo-validated capsule "
+            "set (round 3) — substantially stricter than the r2 skeleton "
+            "capsules and than jrl's checker, so %-self-colliding is not "
+            "comparable across rounds or with the reference's 3-6% "
+            "expectation (see docs/DESIGN.md, robots section).\n"
         )
     print(f"wrote {len(rows)} rows to {args.performances_file}")
     return 0
@@ -180,9 +196,16 @@ def run(args: argparse.Namespace) -> int:
     robot = solver.robot
     key = jax.random.PRNGKey(args.seed)
     k1, k2, k3 = jax.random.split(key, 3)
-    testset = robot.forward_kinematics(
-        robot.sample_joint_angles(k1, args.testset_size, joint_limit_eps=0.02)
-    )
+    # Non-self-colliding testset by default (parity: evaluate.py:137-138,:195).
+    if args.self_colliding_dataset:
+        testset = robot.forward_kinematics(
+            robot.sample_joint_angles(k1, args.testset_size, joint_limit_eps=0.02)
+        )
+    else:
+        _, testset = robot.sample_joint_angles_and_poses(
+            k1, args.testset_size, joint_limit_eps=0.02,
+            only_non_self_colliding=True, oversample_factor=4,
+        )
 
     # Accuracy: n_samples_for_errors solutions per pose, graded in one program.
     m = args.n_samples_for_errors
