@@ -90,8 +90,9 @@ def build_dataset_resident(
     only_non_self_colliding: bool = True,
     joint_limit_eps: float = DEFAULT_JOINT_LIMIT_EPS,
     seed: int = 0,
-    chunk_size: int = 1 << 20,
+    chunk_size: int = 1 << 17,
     redraw_rounds: int = 6,
+    call_size: int = 2_000_000,
 ) -> IkDataset:
     """Generate a dataset that NEVER leaves the device.
 
@@ -155,9 +156,28 @@ def build_dataset_resident(
 
     key = jax.random.PRNGKey(seed)
     k_tr, k_te = jax.random.split(key)
-    samples_tr, endpoints_tr = jax.jit(make_gen(chunk_size), static_argnums=1)(
-        k_tr, int(training_set_size)
-    )
+    # Macro-batched generation: one device call per <= call_size rows instead
+    # of a single giant scan. A single 25M-row program runs minutes on-device,
+    # which trips the tunneled worker's execution watchdog ("TPU worker
+    # crashed"); per-call segments keep each execution to seconds while the
+    # data never leaves HBM. All segments share one compiled program (same
+    # static size); the last is trimmed at concat.
+    gen_tr = jax.jit(make_gen(chunk_size), static_argnums=1)
+    n_tr = int(training_set_size)
+    seg = int(min(call_size, n_tr))
+    segments = []
+    produced = 0
+    i = 0
+    while produced < n_tr:
+        segments.append(gen_tr(jax.random.fold_in(k_tr, i), seg))
+        produced += seg
+        i += 1
+    if len(segments) == 1:
+        samples_tr, endpoints_tr = segments[0]
+    else:
+        samples_tr = jnp.concatenate([s for s, _ in segments], axis=0)[:n_tr]
+        endpoints_tr = jnp.concatenate([p for _, p in segments], axis=0)[:n_tr]
+        del segments
     # Test split: its own (small) chunk so a 15k split doesn't compile and run
     # a full 1M-row generation program (advisor item, r2).
     te_chunk = min(chunk_size, int(test_set_size))

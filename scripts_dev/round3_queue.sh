@@ -49,11 +49,11 @@ commit_model models/fetch__large.npz "models: retrained fetch__large (warmup + s
 
 # ---- 2. rizon4 boost (resume r2 checkpoint, continued LR).
 RUN=$LOGS/patch_rizon4__full
-bash "$WD" "$RUN" 1500 \
+bash "$WD" "$RUN" 1300 \
     --robot_name rizon4 --nb_nodes 12 --dim_latent_space 7 \
     --optimizer adamw --learning_rate 1.6e-4 --gamma 0.93 --step_lr_every 100000 \
     --batch_size 2048 --n_steps 2000000 --eval_every 20000 --log_every 2500 \
-    --checkpoint_every 20000 --on_device_data --steps_per_call 500 --time_budget_s 1350 \
+    --checkpoint_every 20000 --on_device_data --steps_per_call 500 --time_budget_s 1150 \
     --dataset_size 25000000 \
     --export /root/repo/models/rizon4__full.npz --export_dtype float16 --export_gate_mm 30
 [ -n "$(find /root/repo/models/rizon4__full.npz -newermt '-1 hour' 2>/dev/null)" ] || \
@@ -62,11 +62,11 @@ commit_model models/rizon4__full.npz "models: boosted rizon4__full training"
 
 # ---- 3. panda_lite boost.
 RUN=$LOGS/panda_lite_r2
-bash "$WD" "$RUN" 1500 \
+bash "$WD" "$RUN" 1300 \
     --robot_name panda --nb_nodes 6 --dim_latent_space 7 \
     --optimizer adamw --learning_rate 1.8e-4 --gamma 0.93 --step_lr_every 100000 \
     --batch_size 2048 --n_steps 2000000 --eval_every 20000 --log_every 2500 \
-    --checkpoint_every 20000 --on_device_data --steps_per_call 500 --time_budget_s 1350 \
+    --checkpoint_every 20000 --on_device_data --steps_per_call 500 --time_budget_s 1150 \
     --dataset_size 25000000 \
     --export /root/repo/models/panda__lite.npz --export_dtype float16 --export_gate_mm 30
 [ -n "$(find /root/repo/models/panda__lite.npz -newermt '-1 hour' 2>/dev/null)" ] || \
@@ -75,11 +75,11 @@ commit_model models/panda__lite.npz "models: boosted panda__lite training"
 
 # ---- 4. fetch_full boost.
 RUN=$LOGS/fetch_r2
-bash "$WD" "$RUN" 1500 \
+bash "$WD" "$RUN" 1300 \
     --robot_name fetch --nb_nodes 12 --dim_latent_space 8 \
     --optimizer adamw --learning_rate 1.2e-4 --gamma 0.93 --step_lr_every 100000 \
     --batch_size 2048 --n_steps 2000000 --eval_every 20000 --log_every 2500 \
-    --checkpoint_every 20000 --on_device_data --steps_per_call 500 --time_budget_s 1350 \
+    --checkpoint_every 20000 --on_device_data --steps_per_call 500 --time_budget_s 1150 \
     --dataset_size 25000000 \
     --export /root/repo/models/fetch__full.npz --export_dtype float16 --export_gate_mm 40
 [ -n "$(find /root/repo/models/fetch__full.npz -newermt '-1 hour' 2>/dev/null)" ] || \
@@ -88,11 +88,11 @@ commit_model models/fetch__full.npz "models: boosted fetch__full training"
 
 # ---- 5. fetch_arm boost.
 RUN=$LOGS/fetch_arm_r2
-bash "$WD" "$RUN" 1500 \
+bash "$WD" "$RUN" 1300 \
     --robot_name fetch_arm --nb_nodes 16 --dim_latent_space 10 \
     --optimizer adamw --learning_rate 1.55e-4 --gamma 0.93 --step_lr_every 100000 \
     --batch_size 2048 --n_steps 2000000 --eval_every 20000 --log_every 2500 \
-    --checkpoint_every 20000 --on_device_data --steps_per_call 500 --time_budget_s 1350 \
+    --checkpoint_every 20000 --on_device_data --steps_per_call 500 --time_budget_s 1150 \
     --dataset_size 25000000 \
     --export /root/repo/models/fetch_arm__large.npz --export_dtype float16 --export_gate_mm 40
 [ -n "$(find /root/repo/models/fetch_arm__large.npz -newermt '-1 hour' 2>/dev/null)" ] || \
@@ -101,12 +101,12 @@ commit_model models/fetch_arm__large.npz "models: boosted fetch_arm__large train
 
 # ---- 6. sigmoid-head validation model (fresh).
 RUN=$LOGS/panda_lite_sigmoid_r3
-bash "$WD" "$RUN" 1100 \
+bash "$WD" "$RUN" 950 \
     --robot_name panda --nb_nodes 6 --dim_latent_space 7 --sigmoid_on_output --disable_softflow \
     --optimizer adamw --learning_rate 1e-4 --warmup_steps 1000 \
     --gamma 0.93 --step_lr_every 100000 --batch_size 2048 \
     --n_steps 2000000 --eval_every 10000 --log_every 2500 --checkpoint_every 10000 \
-    --on_device_data --steps_per_call 500 --time_budget_s 1000 \
+    --on_device_data --steps_per_call 500 --time_budget_s 800 \
     --dataset_size 25000000 \
     --export /root/repo/models/panda__lite_sigmoid.npz --export_dtype float16 --export_gate_mm 100
 [ -n "$(find /root/repo/models/panda__lite_sigmoid.npz -newermt '-1 hour' 2>/dev/null)" ] || \
