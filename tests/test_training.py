@@ -112,7 +112,7 @@ def test_build_dataset_resident_device_only():
     robot = get_robot("panda")
     from ikflow_tpu.training import build_dataset_resident
 
-    ds = build_dataset_resident(robot, training_set_size=3000, test_set_size=200, chunk_size=1024)
+    ds = build_dataset_resident(robot, training_set_size=3000, test_set_size=200, chunk_size=1024, call_size=1280)
     assert isinstance(ds.samples_tr, jax.Array)  # never left the device
     assert ds.samples_tr.shape == (3000, 7) and ds.endpoints_tr.shape == (3000, 7)
     assert ds.samples_te.shape == (200, 7)
@@ -123,7 +123,7 @@ def test_build_dataset_resident_device_only():
     fk = np.asarray(robot.forward_kinematics(q[:64]))
     np.testing.assert_allclose(fk, np.asarray(ds.endpoints_tr[:64]), atol=1e-5)
     # Deterministic in the seed (watchdog restarts regenerate identical data).
-    ds2 = build_dataset_resident(robot, training_set_size=3000, test_set_size=200, chunk_size=1024)
+    ds2 = build_dataset_resident(robot, training_set_size=3000, test_set_size=200, chunk_size=1024, call_size=1280)
     np.testing.assert_array_equal(np.asarray(ds.samples_tr), np.asarray(ds2.samples_tr))
 
     cfg = TrainConfig(n_steps=20, batch_size=128, log_every=0, eval_every=0, checkpoint_every=0)
