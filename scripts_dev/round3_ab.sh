@@ -62,6 +62,12 @@ with open("PALLAS_AB_r03.json", "w") as f:
 print("wrote PALLAS_AB_r03.json")
 EOF
 
+# ---- 2b. Serving-scale streaming solve (fleet megabatch, 100k poses).
+timeout 1500 python -m ikflow_tpu.cli.main benchmark \
+    --model_name "panda__full__lp191_5.25m" --megabatch 100000 --chunk_size 8192 \
+    > "$OUT/megabatch_r3.json" 2> "$OUT/megabatch_r3.err"
+tail -1 "$OUT/megabatch_r3.json" || true
+
 # ---- 3. Exact-IK runtime curve (reference headline artifact).
 timeout 3000 python -m ikflow_tpu.cli.main benchmark \
     --model_name "panda__full__lp191_5.25m" --mode exact --differencing \
@@ -75,12 +81,21 @@ with open("/root/.cache/ikflow_tpu/training_logs/runtime_curve_r3.jsonl") as f:
         line = line.strip()
         if line.startswith("{"):
             rows.append(json.loads(line))
+mega = None
+try:
+    with open("/root/.cache/ikflow_tpu/training_logs/megabatch_r3.json") as f:
+        for line in f:
+            if line.strip().startswith("{"):
+                mega = json.loads(line)
+except Exception:
+    pass
 payload = {
     "protocol": "exact IK, tiers (1,3,10), <=3 LM steps, 1mm/0.572deg, "
                 "latent scale 0.75, chained-scan differencing (device time)",
     "reference_anchor": "benchmark_generate_exact_solutions.py:145-151 "
                         "(CUDA n=1000: 4237 sols/s)",
     "rows": rows,
+    "megabatch_serving": mega,
 }
 with open("RUNTIME_CURVE_r03.json", "w") as f:
     json.dump(payload, f, indent=1)
