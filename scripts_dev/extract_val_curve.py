@@ -26,8 +26,10 @@ with open(src) as f:
 with open(out, "w") as f:
     json.dump({
         "run": src,
-        "note": "flagship panda__full round-2 training: tr/* sampled every 10k steps, "
-                "full val/* + val_clamped/* series (eval_every=20000, 128 poses x 100 sols)",
+        "note": "flagship panda__full training (cumulative across rounds; the r3 "
+                "segment resumes at step 163500 and switches LR schedule at ~440k — "
+                "see DESIGN.md): tr/* sampled every 10k steps, full val/* + "
+                "val_clamped/* series (eval_every=20000, 128 poses x 100 sols)",
         "tr": tr,
         "val": val,
     }, f, indent=1)

@@ -5,7 +5,7 @@ set -u
 cd /root/repo
 
 echo "=== evaluate --all"
-timeout 2700 python -m ikflow_tpu.cli.main evaluate --all \
+timeout 3600 python -m ikflow_tpu.cli.main evaluate --all \
     --performances_file model_performances.md \
     2> /root/.cache/ikflow_tpu/training_logs/evaluate_all_r3.err \
     | tee /root/.cache/ikflow_tpu/training_logs/evaluate_all_r3.log | tail -3
