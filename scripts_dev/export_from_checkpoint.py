@@ -30,7 +30,33 @@ def main() -> int:
     ap.add_argument("--dtype", type=str, default=None,
                     help="storage dtype for the artifact (e.g. float16); native when omitted")
     ap.add_argument("--sigmoid_on_output", action="store_true")
+    ap.add_argument("--gate_mm", type=float, default=None,
+                    help="refuse the export if the run's last val/l2_error_mm (read from "
+                         "<ckpt_dir>/../metrics.jsonl) exceeds this — keeps the fallback "
+                         "path from shipping weights the trainer's own gate refused")
     args = ap.parse_args()
+
+    if args.gate_mm is not None:
+        import json
+        import os
+
+        metrics_path = os.path.join(os.path.dirname(os.path.abspath(args.ckpt_dir)),
+                                    "metrics.jsonl")
+        last_val = None
+        if os.path.exists(metrics_path):
+            with open(metrics_path) as f:
+                for line in f:
+                    try:
+                        m = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if "val/l2_error_mm" in m:
+                        last_val = float(m["val/l2_error_mm"])
+        import math
+        if last_val is None or not math.isfinite(last_val) or last_val > args.gate_mm:
+            print(f"EXPORT REFUSED (fallback gate): last val/l2_error_mm={last_val} "
+                  f"vs gate {args.gate_mm} mm")
+            return 1
 
     robot = get_robot(args.robot_name)
     hp = FlowHyperParams()

@@ -28,9 +28,9 @@ commit_model() {  # commit_model <npz> <msg>
 # Fallback export if the watchdog killed the trainer before its --export step.
 # export_from_checkpoint runs on CPU and does not gate; the artifact header
 # still self-describes via the table regenerated at round end.
-fallback_export() {  # fallback_export <ckpt_dir> <robot> <out> <nb> <dls>
+fallback_export() {  # fallback_export <ckpt_dir> <robot> <out> <nb> <dls> <gate_mm>
     python scripts_dev/export_from_checkpoint.py --ckpt_dir "$1" --robot_name "$2" \
-        --out "$3" --nb_nodes "$4" --dim_latent_space "$5" --dtype float16
+        --out "$3" --nb_nodes "$4" --dim_latent_space "$5" --dtype float16 --gate_mm "$6"
 }
 
 # ---- 1. fetch__large: fresh retrain, stabilized (warmup + lower peak LR).
@@ -44,7 +44,7 @@ bash "$WD" "$RUN" 2700 \
     --dataset_size 25000000 \
     --export /root/repo/models/fetch__large.npz --export_dtype float16 --export_gate_mm 50
 [ -n "$(find /root/repo/models/fetch__large.npz -newermt '-1 hour' 2>/dev/null)" ] || \
-    fallback_export "$RUN/checkpoints" fetch /root/repo/models/fetch__large.npz 16 8
+    fallback_export "$RUN/checkpoints" fetch /root/repo/models/fetch__large.npz 16 8 50
 commit_model models/fetch__large.npz "models: retrained fetch__large (warmup + stable LR recipe)"
 
 # ---- 2. rizon4 boost (resume r2 checkpoint, continued LR).
@@ -57,7 +57,7 @@ bash "$WD" "$RUN" 1300 \
     --dataset_size 25000000 \
     --export /root/repo/models/rizon4__full.npz --export_dtype float16 --export_gate_mm 30
 [ -n "$(find /root/repo/models/rizon4__full.npz -newermt '-1 hour' 2>/dev/null)" ] || \
-    fallback_export "$RUN/checkpoints" rizon4 /root/repo/models/rizon4__full.npz 12 7
+    fallback_export "$RUN/checkpoints" rizon4 /root/repo/models/rizon4__full.npz 12 7 30
 commit_model models/rizon4__full.npz "models: boosted rizon4__full training"
 
 # ---- 3. panda_lite boost.
@@ -70,7 +70,7 @@ bash "$WD" "$RUN" 1300 \
     --dataset_size 25000000 \
     --export /root/repo/models/panda__lite.npz --export_dtype float16 --export_gate_mm 30
 [ -n "$(find /root/repo/models/panda__lite.npz -newermt '-1 hour' 2>/dev/null)" ] || \
-    fallback_export "$RUN/checkpoints" panda /root/repo/models/panda__lite.npz 6 7
+    fallback_export "$RUN/checkpoints" panda /root/repo/models/panda__lite.npz 6 7 30
 commit_model models/panda__lite.npz "models: boosted panda__lite training"
 
 # ---- 4. fetch_full boost.
@@ -83,7 +83,7 @@ bash "$WD" "$RUN" 1300 \
     --dataset_size 25000000 \
     --export /root/repo/models/fetch__full.npz --export_dtype float16 --export_gate_mm 40
 [ -n "$(find /root/repo/models/fetch__full.npz -newermt '-1 hour' 2>/dev/null)" ] || \
-    fallback_export "$RUN/checkpoints" fetch /root/repo/models/fetch__full.npz 12 8
+    fallback_export "$RUN/checkpoints" fetch /root/repo/models/fetch__full.npz 12 8 40
 commit_model models/fetch__full.npz "models: boosted fetch__full training"
 
 # ---- 5. fetch_arm boost.
@@ -96,7 +96,7 @@ bash "$WD" "$RUN" 1300 \
     --dataset_size 25000000 \
     --export /root/repo/models/fetch_arm__large.npz --export_dtype float16 --export_gate_mm 40
 [ -n "$(find /root/repo/models/fetch_arm__large.npz -newermt '-1 hour' 2>/dev/null)" ] || \
-    fallback_export "$RUN/checkpoints" fetch_arm /root/repo/models/fetch_arm__large.npz 16 10
+    fallback_export "$RUN/checkpoints" fetch_arm /root/repo/models/fetch_arm__large.npz 16 10 40
 commit_model models/fetch_arm__large.npz "models: boosted fetch_arm__large training"
 
 # ---- 6. sigmoid-head validation model (fresh).
@@ -112,7 +112,7 @@ bash "$WD" "$RUN" 950 \
 [ -n "$(find /root/repo/models/panda__lite_sigmoid.npz -newermt '-1 hour' 2>/dev/null)" ] || \
     python scripts_dev/export_from_checkpoint.py --ckpt_dir "$RUN/checkpoints" \
         --robot_name panda --out /root/repo/models/panda__lite_sigmoid.npz \
-        --nb_nodes 6 --dim_latent_space 7 --dtype float16 --sigmoid_on_output
+        --nb_nodes 6 --dim_latent_space 7 --dtype float16 --sigmoid_on_output --gate_mm 100
 commit_model models/panda__lite_sigmoid.npz "models: sigmoid-head panda lite (bounded-output validation)"
 
 echo "$(date -u +%H:%M:%S) round3 queue done"
