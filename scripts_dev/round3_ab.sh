@@ -39,6 +39,7 @@ with open("PRECISION_AB_r03.json", "w") as f:
     json.dump(out, f, indent=1)
 print("wrote PRECISION_AB_r03.json")
 EOF
+git add PRECISION_AB_r03.json && git commit -q -m "Round-3 NE-precision A/B artifact" || true
 
 # ---- 2. XLA vs Pallas A/B. The ne_highest leg above IS the current-default
 # XLA leg — reuse it rather than re-measuring the same program.
@@ -61,6 +62,7 @@ with open("PALLAS_AB_r03.json", "w") as f:
     json.dump(out, f, indent=1)
 print("wrote PALLAS_AB_r03.json")
 EOF
+git add PALLAS_AB_r03.json && git commit -q -m "Round-3 XLA-vs-Pallas A/B artifact (hardened harness)" || true
 
 # ---- 2b. Serving-scale streaming solve (fleet megabatch, 100k poses).
 timeout 1500 python -m ikflow_tpu.cli.main benchmark \
@@ -71,7 +73,7 @@ tail -1 "$OUT/megabatch_r3.json" || true
 # ---- 3. Exact-IK runtime curve (reference headline artifact).
 timeout 3000 python -m ikflow_tpu.cli.main benchmark \
     --model_name "panda__full__lp191_5.25m" --mode exact --differencing \
-    --batch_sizes 1 10 100 500 1000 5000 10000 \
+    --batch_sizes 1 10 100 1000 10000 \
     > "$OUT/runtime_curve_r3.jsonl" 2> "$OUT/runtime_curve_r3.err"
 python - <<'EOF'
 import json
@@ -102,6 +104,6 @@ with open("RUNTIME_CURVE_r03.json", "w") as f:
 print(f"wrote RUNTIME_CURVE_r03.json with {len(rows)} rows")
 EOF
 
-git add PRECISION_AB_r03.json PALLAS_AB_r03.json RUNTIME_CURVE_r03.json 2>/dev/null
-git commit -q -m "Round-3 measurement battery: NE-precision A/B, Pallas A/B, runtime curve" || true
+git add RUNTIME_CURVE_r03.json 2>/dev/null
+git commit -q -m "Round-3 exact-IK runtime curve artifact" || true
 echo "round3_ab done"

@@ -35,9 +35,9 @@ git add models/panda__full.npz 2>/dev/null && \
 echo "$(date -u +%H:%M:%S) extension done; starting queue"
 bash scripts_dev/round3_queue_b.sh
 
-echo "$(date -u +%H:%M:%S) queue done; starting measurement battery"
-bash scripts_dev/round3_ab.sh
-
-echo "$(date -u +%H:%M:%S) battery done; finalizing"
+echo "$(date -u +%H:%M:%S) queue done; finalizing (table first: a round-end truncation should cost measurement legs, not the model table)"
 bash scripts_dev/round3_finalize.sh
+
+echo "$(date -u +%H:%M:%S) finalize done; starting measurement battery"
+bash scripts_dev/round3_ab.sh
 echo "$(date -u +%H:%M:%S) pipeline complete"
