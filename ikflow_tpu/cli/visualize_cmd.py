@@ -53,7 +53,11 @@ def run(args: argparse.Namespace) -> int:
                 solver, n_frames=args.n_frames, out_path=out,
                 allow_uninitialized=args.uninitialized,
             )
-        else:  # oscillate_latent (and oscillate_joints falls back to latent sweep)
+        elif args.demo_name == "oscillate_joints":
+            path = ivz.interactive_oscillate_joints(
+                robot, n_frames=args.n_frames, out_path=out
+            )
+        else:  # oscillate_latent
             path = ivz.interactive_oscillate_latent(
                 solver, n_frames=args.n_frames, out_path=out,
                 allow_uninitialized=args.uninitialized,

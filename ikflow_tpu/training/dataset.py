@@ -133,8 +133,9 @@ def build_dataset_resident(
                 # Residual bad rows borrow a neighbor, skipping a neighbor
                 # that is itself still colliding (borrow two rows over
                 # instead). A leak now needs three adjacent rows all
-                # colliding after redraw_rounds rounds — p**(3*(rounds+1)),
-                # ~1e-27 at the ~4-6% collision rates of these robots.
+                # colliding after redraw_rounds rounds — p**(3*(rounds+1)):
+                # ~2e-11 even at fetch's measured 32% uniform collision rate
+                # under the MuJoCo-validated capsules (panda ~20%: ~2e-15).
                 bad_prev1 = jnp.roll(bad, 1)
                 borrow = jnp.where(
                     bad_prev1[:, None], jnp.roll(q, 2, axis=0), jnp.roll(q, 1, axis=0)
@@ -162,9 +163,11 @@ def build_dataset_resident(
     # crashed"); per-call segments keep each execution to seconds while the
     # data never leaves HBM. All segments share one compiled program (same
     # static size); the last is trimmed at concat.
-    gen_tr = jax.jit(make_gen(chunk_size), static_argnums=1)
     n_tr = int(training_set_size)
     seg = int(min(call_size, n_tr))
+    # Small requests get a right-sized chunk (same advisor-item fix as the
+    # test split below): a 3k-row build must not run a 131k-row program.
+    gen_tr = jax.jit(make_gen(min(chunk_size, seg)), static_argnums=1)
     segments = []
     produced = 0
     i = 0

@@ -8,6 +8,16 @@ data-depends on the previous (so the device cannot overlap them), time the
 program at two K values, and difference — dispatch and RTT appear in both
 terms and cancel. Degenerate (noise-dominated) deltas are refused by
 ``profiling.measure_per_iter_s``, never reported.
+
+Note: these builders call solver internals (``_exact_impl``/``_inverse_q``)
+directly and so bypass the public API's weights-loaded guard — deliberate for
+a timing tool (random weights execute identical FLOPs), but callers that
+surface rates to users must state the weights provenance alongside the
+number (bench.py reports ``"weights": "trained" | "random(untrained)"``).
+
+``bench.py`` keeps its own copies of these chained programs on purpose: its
+HLO must stay bit-identical across rounds so the persistent XLA cache and
+cross-round comparisons hold; behavioral changes belong here first.
 """
 
 from __future__ import annotations

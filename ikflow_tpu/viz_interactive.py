@@ -205,6 +205,26 @@ def interactive_oscillate_latent(
                   center=(0, 0, 0.5))
 
 
+def interactive_oscillate_joints(
+    robot, n_frames: int = 72, out_path: str = "oscillate_joints_interactive.html",
+) -> str:
+    """Every joint swept sinusoidally through its limits, phase-offset per
+    joint (parity: ``oscillate_joints``, ``visualizations.py:323``)."""
+    ts = np.linspace(0, 2 * np.pi, n_frames, endpoint=False)
+    low = np.asarray(robot.limits_low(), dtype=np.float64)
+    high = np.asarray(robot.limits_high(), dtype=np.float64)
+    mid, amp = 0.5 * (low + high), 0.5 * (high - low)
+    frames = []
+    for i, t in enumerate(ts):
+        phases = t + 2 * np.pi * np.arange(robot.ndof) / robot.ndof
+        q = mid + amp * np.sin(phases)
+        frames.append({"sols": [_capsules_world(robot, q)],
+                       "label": f"joint sweep phase {t:.2f} rad"})
+    return _write(out_path, f"{robot.name} — oscillate joints",
+                  "all joints swept through their limits", frames, fps=12,
+                  center=(0, 0, 0.5))
+
+
 def interactive_oscillate_target(
     solver, n_frames: int = 72, n_solutions: int = 6,
     out_path: str = "oscillate_target_interactive.html",

@@ -26,8 +26,9 @@ commit_model() {  # commit_model <npz> <msg>
 }
 
 # Fallback export if the watchdog killed the trainer before its --export step.
-# export_from_checkpoint runs on CPU and does not gate; the artifact header
-# still self-describes via the table regenerated at round end.
+# Runs on CPU and honors the same quality gate via --gate_mm (reads the run's
+# last val/l2_error_mm), so a refusal by the trainer's gate cannot be
+# bypassed by the fallback path.
 fallback_export() {  # fallback_export <ckpt_dir> <robot> <out> <nb> <dls> <gate_mm>
     python scripts_dev/export_from_checkpoint.py --ckpt_dir "$1" --robot_name "$2" \
         --out "$3" --nb_nodes "$4" --dim_latent_space "$5" --dtype float16 --gate_mm "$6"

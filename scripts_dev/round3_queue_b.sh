@@ -2,7 +2,7 @@
 # Round-3 training queue (trimmed variant B): runs after the flagship EXTENSION
 # supervisor exits. Drops the fetch_arm boost to pay for +35 min of flagship.
 # Order (VERDICT r3 priorities): fetch__large retrain with a stable recipe
-# (#3), then boosts for the four live non-flagship models (#6), then the
+# (#3), then boosts for rizon4/panda_lite/fetch_full (#6; fetch_arm dropped to fund the flagship extension), then the
 # sigmoid-head validation model (#9). Each run goes through the watchdog
 # supervisor and exports a quality-gated deploy artifact, committed on success.
 set -u
@@ -27,8 +27,9 @@ commit_model() {  # commit_model <npz> <msg>
 }
 
 # Fallback export if the watchdog killed the trainer before its --export step.
-# export_from_checkpoint runs on CPU and does not gate; the artifact header
-# still self-describes via the table regenerated at round end.
+# Runs on CPU and honors the same quality gate via --gate_mm (reads the run's
+# last val/l2_error_mm), so a refusal by the trainer's gate cannot be
+# bypassed by the fallback path.
 fallback_export() {  # fallback_export <ckpt_dir> <robot> <out> <nb> <dls> <gate_mm>
     python scripts_dev/export_from_checkpoint.py --ckpt_dir "$1" --robot_name "$2" \
         --out "$3" --nb_nodes "$4" --dim_latent_space "$5" --dtype float16 --gate_mm "$6"

@@ -42,12 +42,15 @@ while true; do
     NOW=$(date +%s)
     ELAPSED=$((NOW - START))
     if ! kill -0 "$TRAIN_PID" 2>/dev/null; then
+        wait "$TRAIN_PID" 2>/dev/null; TRAIN_RC=$?
         RAN_S=$((NOW - LAUNCH_TS))
-        # A trainer that dies within minutes of launch did not finish — it hit
-        # a transient failure (e.g. TPU HBM still held by a dying predecessor
-        # process -> instant OOM). Retry instead of declaring the run done;
-        # a real completed run takes at least its time budget.
-        if [ "$RAN_S" -lt "${MIN_RUN_S:-300}" ] && [ "${FAST_RETRIES:-0}" -lt 5 ] \
+        # A trainer that FAILS within minutes of launch did not finish — it
+        # hit a transient failure (e.g. TPU HBM still held by a dying
+        # predecessor process -> instant OOM). Retry instead of declaring the
+        # run done. A fast rc=0 exit is legitimate (e.g. checkpoint already at
+        # n_steps: "nothing to train") and must NOT be retried.
+        if [ "$TRAIN_RC" -ne 0 ] && [ "$RAN_S" -lt "${MIN_RUN_S:-300}" ] \
+           && [ "${FAST_RETRIES:-0}" -lt 5 ] \
            && [ "$ELAPSED" -lt "$TOTAL_BUDGET_S" ]; then
             FAST_RETRIES=$(( ${FAST_RETRIES:-0} + 1 ))
             echo "$(date -u +%H:%M:%S) trainer exited after only ${RAN_S}s; retry $FAST_RETRIES/5 in 30s"
