@@ -213,6 +213,13 @@ def run(args: argparse.Namespace) -> int:
 
     key = jax.random.PRNGKey(args.seed)
     rows = []
+
+    def emit(row):
+        # Print immediately (flushed) so a truncated sweep keeps its completed
+        # rows; the final loop below is kept for API stability of the output.
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
     for n in args.batch_sizes:
         kp, ks = jax.random.split(jax.random.fold_in(key, n))
         poses = robot.forward_kinematics(robot.sample_joint_angles(kp, n, joint_limit_eps=0.02))
@@ -225,17 +232,17 @@ def run(args: argparse.Namespace) -> int:
                 build = chained_approx_build(solver, poses, ks, scale_iters=8)
                 try:
                     t = measure_per_iter_s(build, f"approx n={n}", k_deltas=(5, 20)) / 8.0
-                    rows.append({"mode": "approx", "batch": n, "seconds": t,
-                                 "sols_per_s": n / t, "methodology": "differencing"})
+                    emit({"mode": "approx", "batch": n, "seconds": t,
+                          "sols_per_s": n / t, "methodology": "differencing"})
                 except DegenerateTimingError as e:
-                    rows.append({"mode": "approx", "batch": n, "error": str(e)})
+                    emit({"mode": "approx", "batch": n, "error": str(e)})
             else:
                 def go_approx():
                     out = solver.generate_ik_solutions(poses, key=ks, allow_uninitialized=args.uninitialized)
                     out.block_until_ready()
 
                 t = _timed(go_approx, args.k)
-                rows.append({"mode": "approx", "batch": n, "seconds": t, "sols_per_s": n / t})
+                emit({"mode": "approx", "batch": n, "seconds": t, "sols_per_s": n / t})
 
         if args.mode in ("exact", "both"):
             def go_exact():
@@ -263,20 +270,18 @@ def run(args: argparse.Namespace) -> int:
                 )
                 try:
                     t = measure_per_iter_s(build, f"exact n={n}", k_deltas=(5, 20))
-                    rows.append({
+                    emit({
                         "mode": "exact", "batch": n, "seconds": t, "sols_per_s": n / t,
                         "valid_fraction": float(np.asarray(valids).mean()),
                         "methodology": "differencing",
                     })
                 except DegenerateTimingError as e:
-                    rows.append({"mode": "exact", "batch": n, "error": str(e)})
+                    emit({"mode": "exact", "batch": n, "error": str(e)})
             else:
                 t = _timed(lambda: go_exact(), args.k)
-                rows.append({
+                emit({
                     "mode": "exact", "batch": n, "seconds": t, "sols_per_s": n / t,
                     "valid_fraction": float(np.asarray(valids).mean()),
                 })
 
-    for r in rows:
-        print(json.dumps(r))
     return 0
