@@ -27,7 +27,6 @@ as-is).
 from __future__ import annotations
 
 import json
-import math
 import os
 import sys
 import time
@@ -53,22 +52,9 @@ from ikflow_tpu.utils.profiling import (  # noqa: E402
 )
 
 
-def derive_retry_capacities(tier_counts, n_poses, n_tiers):
-    """Per-tier capacity fractions from MEASURED cumulative valid counts.
-
-    tier_counts[i] = poses converged after tier i of an uncapped probe run.
-    Tier i's capacity covers the measured miss count entering that tier with
-    2x headroom (min 32 poses so key-to-key variance can't strand anyone).
-    Returns None (= run uncapped) when tier-1 misses >40% of poses — capping
-    saves nothing there and the 2x headroom would exceed full width anyway.
-    """
-    caps = [1.0]
-    for i in range(1, n_tiers):
-        miss = (n_poses - int(tier_counts[i - 1])) / n_poses
-        if miss > 0.40:
-            return None
-        caps.append(min(1.0, max(32, math.ceil(2.0 * miss * n_poses)) / n_poses))
-    return tuple(caps)
+# Shared with the fleet serving paths (fleet.solve_exact_megabatch probes its
+# first chunk with exactly this derivation) — one implementation, in the library.
+from ikflow_tpu.solver import derive_retry_capacities  # noqa: E402
 
 
 def main() -> int:

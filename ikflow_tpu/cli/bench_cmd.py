@@ -42,6 +42,13 @@ def add_parser(sub):
                    help="measure with RTT-cancelling chained-scan differencing (device "
                         "time; refuses noise-dominated measurements) instead of per-call "
                         "wall clock. Applies to --mode approx/exact/both.")
+    p.add_argument("--capacity", choices=["probe", "full"], default="probe",
+                   help="retry-tier capacity policy for exact IK: 'probe' derives "
+                        "per-tier capacities from a measured uncapped probe at each "
+                        "batch size (2x headroom over observed miss rates; falls back "
+                        "to full width when tier-1 misses >40%%, e.g. untrained "
+                        "weights); 'full' re-solves every pose in every tier "
+                        "(reference-shaped, ikflow_solver.py:389 without the shrink)")
     p.set_defaults(func=run)
     return p
 
@@ -189,9 +196,13 @@ def run(args: argparse.Namespace) -> int:
         poses = np.asarray(robot.forward_kinematics(
             robot.sample_joint_angles(kp, args.megabatch, joint_limit_eps=0.02)
         ))
-        # Compile + warm on one chunk before timing the stream.
+        capacity_policy = "probe" if args.capacity == "probe" else None
+        # Compile + warm on one chunk before timing the stream (compiles both
+        # the uncapped probe program and, under the probe policy, the capped
+        # steady-state program).
         solve_exact_megabatch(
-            solver, poses[: args.chunk_size], chunk_size=args.chunk_size,
+            solver, poses[: 2 * args.chunk_size], chunk_size=args.chunk_size,
+            retry_capacities=capacity_policy,
             repeat_counts=tuple(args.repeat_counts), n_opt_steps_max=args.n_opt_steps_max,
             pos_error_threshold=EXACT_POS_TOL, rot_error_threshold=EXACT_ROT_TOL,
             allow_uninitialized=args.uninitialized,
@@ -199,6 +210,7 @@ def run(args: argparse.Namespace) -> int:
         t0 = _time.time()
         _, valids = solve_exact_megabatch(
             solver, poses, chunk_size=args.chunk_size, progress=True,
+            retry_capacities=capacity_policy,
             repeat_counts=tuple(args.repeat_counts), n_opt_steps_max=args.n_opt_steps_max,
             pos_error_threshold=EXACT_POS_TOL, rot_error_threshold=EXACT_ROT_TOL,
             allow_uninitialized=args.uninitialized,
@@ -208,16 +220,14 @@ def run(args: argparse.Namespace) -> int:
             "mode": "exact_megabatch", "n": args.megabatch, "chunk_size": args.chunk_size,
             "seconds": round(sec, 3), "sols_per_s": round(args.megabatch / sec, 1),
             "valid_fraction": round(float(valids.mean()), 4),
+            "capacity": args.capacity,
         }))
         return 0
 
     key = jax.random.PRNGKey(args.seed)
-    rows = []
 
     def emit(row):
-        # Print immediately (flushed) so a truncated sweep keeps its completed
-        # rows; the final loop below is kept for API stability of the output.
-        rows.append(row)
+        # Print immediately (flushed) so a truncated sweep keeps its completed rows.
         print(json.dumps(row), flush=True)
 
     for n in args.batch_sizes:
@@ -245,6 +255,28 @@ def run(args: argparse.Namespace) -> int:
                 emit({"mode": "approx", "batch": n, "seconds": t, "sols_per_s": n / t})
 
         if args.mode in ("exact", "both"):
+            # Uncapped probe: compiles/warms the tier program AND measures the
+            # per-tier miss rates that the capacity policy (--capacity probe)
+            # turns into fixed retry-bucket sizes for the timed runs.
+            _, probe_valids, tier_counts = solver.generate_exact_ik_solutions(
+                poses,
+                repeat_counts=tuple(args.repeat_counts),
+                pos_error_threshold=EXACT_POS_TOL,
+                rot_error_threshold=EXACT_ROT_TOL,
+                n_opt_steps_max=args.n_opt_steps_max,
+                key=ks,
+                allow_uninitialized=args.uninitialized,
+                return_tier_counts=True,
+            )
+            uncapped_vf = float(np.asarray(probe_valids).mean())
+            capacities = None
+            if args.capacity == "probe":
+                from ikflow_tpu.solver import derive_retry_capacities
+
+                capacities = derive_retry_capacities(
+                    np.asarray(tier_counts), n, len(args.repeat_counts)
+                )
+
             def go_exact():
                 sols, valids = solver.generate_exact_ik_solutions(
                     poses,
@@ -254,11 +286,17 @@ def run(args: argparse.Namespace) -> int:
                     n_opt_steps_max=args.n_opt_steps_max,
                     key=ks,
                     allow_uninitialized=args.uninitialized,
+                    retry_capacities=capacities,
                 )
                 sols.block_until_ready()
                 return valids
 
-            valids = go_exact()  # also serves as compile/warm for both paths
+            valids = go_exact()  # compile/warm the (possibly capped) timed program
+            row_common = {
+                "valid_fraction": float(np.asarray(valids).mean()),
+                "uncapped_valid_fraction": uncapped_vf,
+                "capacity": list(capacities) if capacities else "full",
+            }
             if args.differencing:
                 from ikflow_tpu.utils.benchtools import chained_exact_build
                 from ikflow_tpu.utils.profiling import DegenerateTimingError, measure_per_iter_s
@@ -266,14 +304,13 @@ def run(args: argparse.Namespace) -> int:
                 build = chained_exact_build(
                     solver, poses, ks, repeat_counts=tuple(args.repeat_counts),
                     pos_tol=EXACT_POS_TOL, rot_tol=EXACT_ROT_TOL,
-                    n_opt_steps_max=args.n_opt_steps_max,
+                    n_opt_steps_max=args.n_opt_steps_max, capacities=capacities,
                 )
                 try:
                     t = measure_per_iter_s(build, f"exact n={n}", k_deltas=(5, 20))
                     emit({
                         "mode": "exact", "batch": n, "seconds": t, "sols_per_s": n / t,
-                        "valid_fraction": float(np.asarray(valids).mean()),
-                        "methodology": "differencing",
+                        "methodology": "differencing", **row_common,
                     })
                 except DegenerateTimingError as e:
                     emit({"mode": "exact", "batch": n, "error": str(e)})
@@ -281,7 +318,7 @@ def run(args: argparse.Namespace) -> int:
                 t = _timed(lambda: go_exact(), args.k)
                 emit({
                     "mode": "exact", "batch": n, "seconds": t, "sols_per_s": n / t,
-                    "valid_fraction": float(np.asarray(valids).mean()),
+                    **row_common,
                 })
 
     return 0

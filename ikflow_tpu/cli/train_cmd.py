@@ -37,6 +37,12 @@ def add_parser(sub):
     p.add_argument("--warmup_steps", type=int, default=0,
                    help="linear LR warmup steps (stabilizes 16-block stacks at large batch)")
     p.add_argument("--gradient_clip_val", type=float, default=1.0)
+    p.add_argument("--gradient_clip_algorithm", type=str, default="value",
+                   choices=["value", "norm"],
+                   help="'value' = per-element clip (reference lt_model.py:220-221 parity); "
+                        "'norm' = optax.clip_by_global_norm, bounds total step length — "
+                        "the fix for rare catastrophic loss spikes on deep stacks at "
+                        "large batch (see docs/DESIGN.md, fetch training notes)")
     p.add_argument("--n_steps", type=int, default=250_000)
     p.add_argument("--eval_every", type=int, default=20_000)
     p.add_argument("--log_every", type=int, default=1_000)
@@ -109,6 +115,7 @@ def run(args: argparse.Namespace) -> int:
         step_lr_every=args.step_lr_every,
         warmup_steps=args.warmup_steps,
         gradient_clip=args.gradient_clip_val,
+        gradient_clip_algorithm=args.gradient_clip_algorithm,
         n_steps=args.n_steps,
         eval_every=args.eval_every,
         log_every=args.log_every,
@@ -165,7 +172,7 @@ def run(args: argparse.Namespace) -> int:
 
         opt_template = make_optimizer(
             cfg.optimizer, cfg.learning_rate, cfg.gamma, cfg.step_lr_every,
-            cfg.gradient_clip, cfg.warmup_steps,
+            cfg.gradient_clip, cfg.warmup_steps, cfg.gradient_clip_algorithm,
         ).init(params)
         try:
             restored, start_step = restore_checkpoint(

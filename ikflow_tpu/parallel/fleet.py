@@ -34,7 +34,8 @@ def solve_exact_sharded(
 
     Pads the pose count up to a multiple of the mesh size (padded poses are
     copies of pose 0; their results are dropped). Returns (solutions, valids)
-    with the original length.
+    with the original length — plus cumulative per-tier valid counts (over the
+    padded set) when ``return_tier_counts=True`` is passed through.
     """
     mesh = mesh or make_mesh()
     n = target_poses.shape[0]
@@ -44,7 +45,11 @@ def solve_exact_sharded(
         pad = jnp.broadcast_to(target_poses[:1], (n_pad - n, 7))
         target_poses = jnp.concatenate([target_poses, pad], axis=0)
     poses_sharded = jax.device_put(target_poses, batch_sharding(mesh))
-    sols, valids = solver.generate_exact_ik_solutions(poses_sharded, **solve_kwargs)
+    out = solver.generate_exact_ik_solutions(poses_sharded, **solve_kwargs)
+    if solve_kwargs.get("return_tier_counts"):
+        sols, valids, tier_counts = out
+        return sols[:n], valids[:n], tier_counts
+    sols, valids = out
     return sols[:n], valids[:n]
 
 
@@ -55,6 +60,7 @@ def solve_exact_megabatch(
     mesh=None,
     key: Optional[jax.Array] = None,
     progress: bool = False,
+    retry_capacities="probe",
     **solve_kwargs,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact-IK over an arbitrarily large pose set by streaming fixed-shape
@@ -67,6 +73,20 @@ def solve_exact_megabatch(
     one compile, reused for every chunk including the ragged last one) and
     sharded over the mesh. Results land in preallocated host arrays —
     device memory stays bounded by one chunk regardless of n.
+
+    ``retry_capacities`` (the serving-scale throughput lever — uncapped, every
+    retry tier re-solves all chunk poses x its repeat count, ~14x the tier-1
+    work for tiers (1,3,10) regardless of how few poses actually missed):
+
+    - ``"probe"`` (default): the FIRST chunk runs uncapped with per-tier valid
+      counts, its results are kept, and measured capacities
+      (``solver.derive_retry_capacities``, 2x headroom over observed miss
+      rates) drive every remaining chunk. Per-chunk validity is monitored: any
+      capped chunk whose valid fraction drops >0.5% below the probe's is
+      re-solved uncapped, so a drifting pose distribution degrades to probe
+      cost, never to abandoned poses.
+    - an explicit tuple: used as-is for all chunks (no probe, no re-solve).
+    - ``None``: every chunk uncapped (reference-shaped behavior).
     """
     mesh = mesh or make_mesh()
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -74,6 +94,9 @@ def solve_exact_megabatch(
     n = target_poses.shape[0]
     sols_out = np.zeros((n, solver.ndof), dtype=np.float32)
     valid_out = np.zeros((n,), dtype=bool)
+    probing = retry_capacities == "probe"
+    capacities = None if probing else retry_capacities
+    probe_valid_fraction = None
     for start in range(0, n, chunk_size):
         chunk = target_poses[start : start + chunk_size]
         m = chunk.shape[0]
@@ -81,10 +104,39 @@ def solve_exact_megabatch(
             chunk = np.concatenate(
                 [chunk, np.broadcast_to(chunk[:1], (chunk_size - m, 7))], axis=0
             )
-        s, v = solve_exact_sharded(
-            solver, jnp.asarray(chunk), mesh=mesh,
-            key=jax.random.fold_in(key, start), **solve_kwargs,
-        )
+        chunk_key = jax.random.fold_in(key, start)
+        if probing and start == 0:
+            s, v, tier_counts = solve_exact_sharded(
+                solver, jnp.asarray(chunk), mesh=mesh, key=chunk_key,
+                retry_capacities=None, return_tier_counts=True, **solve_kwargs,
+            )
+            from ikflow_tpu.solver import derive_retry_capacities
+
+            tier_counts = np.asarray(tier_counts)
+            capacities = derive_retry_capacities(
+                tier_counts, chunk.shape[0], len(tier_counts)
+            )
+            probe_valid_fraction = float(np.asarray(v).mean())
+            if progress and capacities is not None:
+                print(f"  megabatch: probe capacities {[round(c, 4) for c in capacities]}",
+                      flush=True)
+        else:
+            s, v = solve_exact_sharded(
+                solver, jnp.asarray(chunk), mesh=mesh, key=chunk_key,
+                retry_capacities=capacities, **solve_kwargs,
+            )
+            if (
+                probing
+                and capacities is not None
+                and float(np.asarray(v).mean()) < probe_valid_fraction - 0.005
+            ):
+                # Capacity schedule stranded poses on this chunk — re-solve it
+                # uncapped (fresh key so the retry isn't a replay).
+                s, v = solve_exact_sharded(
+                    solver, jnp.asarray(chunk), mesh=mesh,
+                    key=jax.random.fold_in(chunk_key, 1),
+                    retry_capacities=None, **solve_kwargs,
+                )
         sols_out[start : start + m] = np.asarray(s)[:m]
         valid_out[start : start + m] = np.asarray(v)[:m]
         if progress:

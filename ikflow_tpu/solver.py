@@ -22,6 +22,7 @@ Here (single fused TPU program, fixed shapes):
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -48,6 +49,32 @@ def draw_latent(
     if latent_distribution == "gaussian":
         return latent_scale * jax.random.normal(key, shape, dtype)
     return 2.0 * latent_scale * jax.random.uniform(key, shape, dtype) - latent_scale
+
+
+def derive_retry_capacities(tier_counts, n_poses: int, n_tiers: int):
+    """Per-tier capacity fractions from MEASURED cumulative valid counts.
+
+    ``tier_counts[i]`` = poses converged after tier i of an *uncapped* probe
+    run (``generate_exact_ik_solutions(..., return_tier_counts=True)``). Tier
+    i's capacity covers the measured miss count entering that tier with 2x
+    headroom (min 32 poses so key-to-key variance can't strand anyone).
+    Returns None (= run uncapped) when tier-1 misses >40% of poses — capping
+    saves nothing there and the 2x headroom would exceed full width anyway.
+
+    This is the fixed-shape analog of the reference's dynamic retry-batch
+    shrinking (``ikflow_solver.py:389``): uncapped, every retry tier re-solves
+    ALL n poses x its repeat count (14n tile evaluations for tiers (1,3,10)),
+    so per-pose cost grows with the tier schedule even when only a few percent
+    of poses actually need retries. Measured capacities cut that to
+    ~n x (1 + 2*miss_1*3 + 2*miss_2*10).
+    """
+    caps = [1.0]
+    for i in range(1, n_tiers):
+        miss = (n_poses - int(tier_counts[i - 1])) / n_poses
+        if miss > 0.40:
+            return None
+        caps.append(min(1.0, max(32, math.ceil(2.0 * miss * n_poses)) / n_poses))
+    return tuple(caps)
 
 
 class IKFlowSolver:
@@ -240,6 +267,7 @@ class IKFlowSolver:
         key: Optional[jax.Array] = None,
         allow_uninitialized: bool = False,
         retry_capacities: Optional[Tuple[float, ...]] = None,
+        return_tier_counts: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Exact IK: flow seeds + LM refinement + widening retry tiers.
 
@@ -265,6 +293,12 @@ class IKFlowSolver:
         flow (a few % invalid after tier 1), ``(1.0, 0.25, 0.0625)`` cuts tier
         cost ~6x with no contract change as long as the invalid count fits the
         bucket; ``None`` retries at full width (safe for cold/untrained flows).
+        Derive honest capacities from a measured uncapped probe with
+        ``return_tier_counts=True`` + ``derive_retry_capacities`` (this is what
+        ``bench.py`` and the fleet serving paths do).
+
+        ``return_tier_counts``: also return the cumulative valid count after
+        each tier (shape ``(len(repeat_counts),)``) as a third output.
         """
         if not allow_uninitialized:
             assert self._weights_loaded, "Model weights have not been loaded."
@@ -280,6 +314,7 @@ class IKFlowSolver:
         cache_key = (
             "exact", n, repeat_counts, float(pos_error_threshold), float(rot_error_threshold),
             int(n_opt_steps_max), float(lambd), float(latent_scale), retry_capacities,
+            bool(return_tier_counts),
         )
         fn = self._jit_cache.get(cache_key)
         if fn is None:
@@ -287,7 +322,7 @@ class IKFlowSolver:
                 lambda params, aux, poses, k: self._exact_impl(
                     params, aux, poses, k, repeat_counts, pos_error_threshold,
                     rot_error_threshold, n_opt_steps_max, lambd, latent_scale,
-                    retry_capacities,
+                    retry_capacities, return_tier_counts=return_tier_counts,
                 )
             )
             self._jit_cache[cache_key] = fn

@@ -96,7 +96,16 @@ def make_optimizer(
     step_lr_every: int = 39062,
     gradient_clip: Optional[float] = 1.0,
     warmup_steps: int = 0,
+    gradient_clip_algorithm: str = "value",
 ) -> optax.GradientTransformation:
+    """``gradient_clip_algorithm``: "value" clips each gradient element to
+    ±clip (torch ``clip_grad_value_`` parity, the reference's choice at
+    ``lt_model.py:220-221``); "norm" rescales the whole gradient when its
+    global L2 norm exceeds clip. Value clipping leaves room for rare
+    catastrophic loss spikes on deep stacks at large batch (observed on both
+    FETCH runs at lr ~1e-4 / batch 2048: a single batch can flip thousands of
+    elements to the clip ceiling simultaneously, which is still a huge
+    update). Global-norm clipping bounds the total step length instead."""
     schedule = make_lr_schedule(learning_rate, gamma, step_lr_every, warmup_steps)
     if name == "adamw":
         core = optax.adamw(schedule)
@@ -108,6 +117,15 @@ def make_optimizer(
         core = lookahead(optax.radam(schedule, b1=0.95, b2=0.999, eps=1e-4), sync_period=6, slow_step=0.5)
     else:
         raise ValueError(f"unknown optimizer {name!r}; use adamw|adam|adadelta|ranger")
-    chain = [optax.clip(gradient_clip)] if gradient_clip is not None else []
+    if gradient_clip is None:
+        chain = []
+    elif gradient_clip_algorithm == "norm":
+        chain = [optax.clip_by_global_norm(gradient_clip)]
+    elif gradient_clip_algorithm == "value":
+        chain = [optax.clip(gradient_clip)]
+    else:
+        raise ValueError(
+            f"unknown gradient_clip_algorithm {gradient_clip_algorithm!r}; use value|norm"
+        )
     chain.append(core)
     return optax.chain(*chain)

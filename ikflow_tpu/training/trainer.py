@@ -53,6 +53,7 @@ class TrainConfig:
     step_lr_every: int = 39062  # int(2.5e6 / 64)
     warmup_steps: int = 0  # linear LR ramp; stabilizes deep stacks at large batch
     gradient_clip: float = 1.0
+    gradient_clip_algorithm: str = "value"  # "value" (reference parity) | "norm"
     n_steps: int = 20_000
     eval_every: int = 20_000
     log_every: int = 1_000
@@ -101,7 +102,7 @@ class Trainer:
         self.loss_fn = make_loss_fn(flow, robot.ndof)
         self.optimizer = make_optimizer(
             config.optimizer, config.learning_rate, config.gamma, config.step_lr_every,
-            config.gradient_clip, config.warmup_steps,
+            config.gradient_clip, config.warmup_steps, config.gradient_clip_algorithm,
         )
         from ikflow_tpu.training.optimizers import make_lr_schedule
 
