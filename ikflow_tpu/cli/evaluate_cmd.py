@@ -36,24 +36,35 @@ def _runtime_ms(solver, target, n_samples: int, key, allow_uninitialized: bool,
     from ikflow_tpu.utils.profiling import DegenerateTimingError, measure_per_iter_s
 
     poses = jnp.tile(jnp.atleast_2d(target)[:1], (n_samples, 1))
-    build = chained_approx_build(
-        solver, poses, key, latent_scale=DEFAULT_LATENT_SCALE
-    )
-    try:
-        per_iter = measure_per_iter_s(build, "runtime column", k_deltas=(8, 64))
-        return 1000.0 * per_iter, "device"
-    except DegenerateTimingError:
-        times = []
-        for i in range(max(runtime_k, 1) + 1):  # first call compiles
-            t0 = time.time()
-            out = solver.generate_ik_solutions(
-                target, n=n_samples, key=jax.random.fold_in(key, i),
-                allow_uninitialized=allow_uninitialized,
-            )
-            out.block_until_ready()
-            times.append(time.time() - t0)
-        times = times[1:]
-        return 1000.0 * sum(times) / len(times), "rtt-inclusive"
+    # Escalating chain lengths: a 100-solution approx solve is ~0.06-0.14 ms
+    # of device time, so at scale_iters=1 the differenced delta (~10 ms) can
+    # drown in tunnel-RTT variance. Multiplying the scan length grows the
+    # delta linearly while dispatch/RTT still cancel — the same escalation the
+    # bench's single-pose leg uses — so the fallback to RTT-inclusive wall
+    # clock (which measures the tunnel, not the chip) becomes a last resort.
+    for scale_iters in (8, 64, 256):
+        build = chained_approx_build(
+            solver, poses, key, latent_scale=DEFAULT_LATENT_SCALE,
+            scale_iters=scale_iters,
+        )
+        try:
+            per_iter = measure_per_iter_s(
+                build, f"runtime column (x{scale_iters})", k_deltas=(8, 64)
+            ) / scale_iters
+            return 1000.0 * per_iter, "device"
+        except DegenerateTimingError:
+            continue
+    times = []
+    for i in range(max(runtime_k, 1) + 1):  # first call compiles
+        t0 = time.time()
+        out = solver.generate_ik_solutions(
+            target, n=n_samples, key=jax.random.fold_in(key, i),
+            allow_uninitialized=allow_uninitialized,
+        )
+        out.block_until_ready()
+        times.append(time.time() - t0)
+    times = times[1:]
+    return 1000.0 * sum(times) / len(times), "rtt-inclusive"
 
 
 def add_parser(sub):

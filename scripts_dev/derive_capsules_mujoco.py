@@ -38,7 +38,17 @@ import os
 
 import numpy as np
 
-ASSETS = "/opt/venv/lib/python3.12/site-packages/gymnasium_robotics/envs/assets"
+def _assets_dir() -> str:
+    """Assets path from the installed package (works in any venv layout)."""
+    import gymnasium_robotics
+
+    return os.path.join(os.path.dirname(gymnasium_robotics.__file__), "envs", "assets")
+
+
+try:
+    ASSETS = _assets_dir()
+except ImportError:  # script still importable for its pure-numpy helpers
+    ASSETS = "/opt/venv/lib/python3.12/site-packages/gymnasium_robotics/envs/assets"
 WORKDIR = "/tmp/mjderive"
 
 

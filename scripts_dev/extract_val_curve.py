@@ -1,6 +1,11 @@
 """Extract the flagship validation curve from metrics.jsonl into a compact
 committed artifact (VERDICT r1 weak #3: the round-1 flagship ran with
-eval_every=0, so no val/* evidence existed for the only trained model)."""
+eval_every=0, so no val/* evidence existed for the only trained model).
+
+Watchdog/supervisor restarts resume from the latest checkpoint and replay the
+steps since it, so the raw JSONL can contain duplicate or out-of-order step
+entries (r3 verdict weak #7). The series here are deduped last-write-wins on
+step and emitted strictly monotone, so consumers can plot them directly."""
 
 import json
 import sys
@@ -9,7 +14,7 @@ src = sys.argv[1] if len(sys.argv) > 1 else \
     "/root/.cache/ikflow_tpu/training_logs/panda_full_r2/metrics.jsonl"
 out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/VAL_CURVE_r02.json"
 
-tr, val = [], []
+tr, val = {}, {}  # step -> row; later lines win (post-restart replay is truth)
 with open(src) as f:
     for line in f:
         try:
@@ -17,11 +22,15 @@ with open(src) as f:
         except json.JSONDecodeError:
             continue
         if "val/l2_error_mm" in m:
-            val.append({k: round(float(v), 4) for k, v in m.items()})
+            val[int(m.get("step", -1))] = {k: round(float(v), 4) for k, v in m.items()}
         elif "tr/loss" in m and m.get("step", 0) % 10000 == 0:
-            tr.append({"step": m["step"], "tr/loss": round(m["tr/loss"], 4),
-                       "tr/learning_rate": round(m.get("tr/learning_rate", 0.0), 8),
-                       "tr/batches_p_sec": round(m.get("tr/batches_p_sec", 0.0), 1)})
+            tr[int(m["step"])] = {
+                "step": m["step"], "tr/loss": round(m["tr/loss"], 4),
+                "tr/learning_rate": round(m.get("tr/learning_rate", 0.0), 8),
+                "tr/batches_p_sec": round(m.get("tr/batches_p_sec", 0.0), 1)}
+
+tr = [tr[s] for s in sorted(tr)]
+val = [val[s] for s in sorted(val)]
 
 with open(out, "w") as f:
     json.dump({

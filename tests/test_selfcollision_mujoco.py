@@ -18,7 +18,11 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts_dev"))
 
 mujoco = pytest.importorskip("mujoco")
-ASSETS = "/opt/venv/lib/python3.12/site-packages/gymnasium_robotics/envs/assets"
+# Derive the assets path from the installed package, not a hardcoded venv
+# layout — a hardcoded path silently skips the only ground-truth regression
+# protecting the baked-in capsule constants (r3 advisor finding).
+gymnasium_robotics = pytest.importorskip("gymnasium_robotics")
+ASSETS = os.path.join(os.path.dirname(gymnasium_robotics.__file__), "envs", "assets")
 pytestmark = pytest.mark.skipif(not os.path.isdir(ASSETS), reason="needs gymnasium_robotics assets")
 
 import jax  # noqa: E402
@@ -94,3 +98,57 @@ def test_mujoco_franka_kinematic_alignment():
             bid = mujoco.mj_name2id(m_fr, mujoco.mjtObj.mjOBJ_BODY, f"panda0_link{N}")
             err = np.linalg.norm(d.xpos[bid] - frames[N - 1][1])
             assert err < 2e-4, (N, err)
+
+
+def _calibration_configs(robot):
+    """The configs the allowed-collision-pair calibration actually uses
+    (explicit list, or the default [center, clamped-zero] — chain.py:368)."""
+    if robot._calibration_configs is not None:
+        return [np.asarray(c, dtype=np.float64) for c in robot._calibration_configs]
+    lo, hi = robot._limits_low, robot._limits_high
+    return [0.5 * (lo + hi), np.clip(np.zeros(robot.ndof), lo, hi)]
+
+
+def test_panda_calibration_poses_are_mujoco_contact_free():
+    """A genuinely-colliding calibration pose silently whitelists that capsule
+    pair (this hid Panda's hand-on-forearm mode in r1/r2); assert against the
+    MuJoCo narrow-phase that every calibration config is contact-free."""
+    D, (m_fr, _) = _models()
+    offsets = np.zeros(7)
+    offsets[5] = -1.57
+    offsets[6] = -0.7854
+    frame_of_body = {f"panda0_link{N}": N for N in range(8)}
+    frame_of_body["panda0_leftfinger"] = 7
+    frame_of_body["panda0_rightfinger"] = 7
+    oracle = D.make_oracle(
+        m_fr, [f"robot:panda0_joint{i}" for i in range(1, 8)], frame_of_body, offsets
+    )
+    for qc in _calibration_configs(get_robot("panda")):
+        assert not oracle(qc), f"calibration pose self-collides in MuJoCo: {qc}"
+
+
+def test_fetch_calibration_poses_are_mujoco_contact_free():
+    D, (_, m_fe) = _models()
+    frames = {
+        "robot0:base_link": 0, "robot0:torso_lift_link": 1,
+        "robot0:shoulder_pan_link": 2, "robot0:shoulder_lift_link": 3,
+        "robot0:upperarm_roll_link": 4, "robot0:elbow_flex_link": 5,
+        "robot0:forearm_roll_link": 6, "robot0:wrist_flex_link": 7,
+        "robot0:wrist_roll_link": 8, "robot0:gripper_link": 9,
+        "robot0:head_pan_link": 1, "robot0:head_tilt_link": 1,
+        "robot0:torso_fixed_link": 0, "robot0:estop_link": 0,
+        "robot0:laser_link": 0,
+        "robot0:r_gripper_finger_link": 9, "robot0:l_gripper_finger_link": 9,
+    }
+    joints = ["robot0:torso_lift_joint", "robot0:shoulder_pan_joint",
+              "robot0:shoulder_lift_joint", "robot0:upperarm_roll_joint",
+              "robot0:elbow_flex_joint", "robot0:forearm_roll_joint",
+              "robot0:wrist_flex_joint", "robot0:wrist_roll_joint"]
+    oracle = D.make_oracle(m_fe, joints, frames)
+    for robot_name in ("fetch", "fetch_arm"):
+        robot = get_robot(robot_name)
+        for qc in _calibration_configs(robot):
+            q8 = qc if robot.ndof == 8 else np.concatenate([[0.1], qc])
+            assert not oracle(q8), (
+                f"{robot_name} calibration pose self-collides in MuJoCo: {qc}"
+            )
