@@ -7,7 +7,10 @@ every chip in the mesh, and arbitrarily large pose sets stream through one
 compiled chunk program with bounded device memory:
 
 1. ``solve_exact_sharded`` — one batch, poses sharded over ``("data",)``.
-2. ``solve_exact_megabatch`` — 50k+ poses streamed in fixed-shape chunks.
+2. ``solve_exact_megabatch`` — 50k+ poses streamed in fixed-shape chunks;
+   its default "probe" policy measures per-tier miss rates on the first chunk
+   and capacity-caps the retry tiers of every later chunk (~7x less retry
+   work with trained weights, validity-monitored).
 3. ``scaling_efficiency`` — throughput at 1 device vs the full mesh.
 
 Run (any backend; on a dev box force a virtual mesh first):

@@ -13,17 +13,34 @@ cd /root/repo
 LOGS=/root/.cache/ikflow_tpu/training_logs
 W=scripts_dev/train_with_watchdog.sh
 
+# ---- 0. Flagship continuation: the 2.2M-step decay run moved the 500x50
+# protocol row 8.60 -> 8.21 mm; the local power-law slope (-0.26) puts the
+# <=8.0 bar ~300k steps out. step_lr_every 120000 holds LR in the productive
+# ~1.2e-5 band instead of decaying below 1e-5.
+bash "$W" "$LOGS/panda_full_r2" 3000 \
+    --robot_name panda --nb_nodes 12 --dim_latent_space 7 \
+    --learning_rate 8.1e-5 --gamma 0.9 --step_lr_every 120000 \
+    --batch_size 2048 --n_steps 2530000 --eval_every 20000 --log_every 2500 \
+    --checkpoint_every 20000 --on_device_data --steps_per_call 500 \
+    --dataset_size 25000000 --time_budget_s 2400 \
+    --export /root/repo/models/panda__full.npz --export_dtype float16 \
+    --export_gate_mm 8.0
+timeout 1800 python -m ikflow_tpu.cli.main evaluate \
+    --model_name "panda__full__lp191_5.25m" \
+    > "$LOGS/eval_flagship_r4b.log" 2>&1
+grep mean_l2 "$LOGS/eval_flagship_r4b.log" || true
+
 # ---- 1. fetch__full: resume from the r2 run's 212k-step checkpoint with the
 # stability recipe. The r2 run spiked catastrophically at step 180k
 # (val 2.7e8 mm) under value clipping at lr ~1e-4; norm clipping bounds the
 # step length so a single bad batch cannot repeat that.
-bash "$W" "$LOGS/fetch_r2" 8100 \
+bash "$W" "$LOGS/fetch_r2" 7200 \
     --robot_name fetch --nb_nodes 12 --dim_latent_space 8 \
     --learning_rate 6e-5 --gamma 0.9 --step_lr_every 150000 --warmup_steps 0 \
     --gradient_clip_algorithm norm --gradient_clip_val 1.0 \
     --batch_size 2048 --n_steps 1500000 --eval_every 20000 --log_every 2500 \
     --checkpoint_every 20000 --on_device_data --steps_per_call 500 \
-    --dataset_size 25000000 --time_budget_s 6900 \
+    --dataset_size 25000000 --time_budget_s 6000 \
     --export /root/repo/models/fetch__full.npz --export_dtype float16 \
     --export_gate_mm 20.0
 
