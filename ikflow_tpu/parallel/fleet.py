@@ -97,51 +97,81 @@ def solve_exact_megabatch(
     probing = retry_capacities == "probe"
     capacities = None if probing else retry_capacities
     probe_valid_fraction = None
-    for start in range(0, n, chunk_size):
+
+    def padded_chunk(start):
         chunk = target_poses[start : start + chunk_size]
         m = chunk.shape[0]
         if m < chunk_size:  # pad ragged tail to keep the compiled shape
             chunk = np.concatenate(
                 [chunk, np.broadcast_to(chunk[:1], (chunk_size - m, 7))], axis=0
             )
-        chunk_key = jax.random.fold_in(key, start)
-        if probing and start == 0:
-            s, v, tier_counts = solve_exact_sharded(
-                solver, jnp.asarray(chunk), mesh=mesh, key=chunk_key,
-                retry_capacities=None, return_tier_counts=True, **solve_kwargs,
-            )
-            from ikflow_tpu.solver import derive_retry_capacities
+        return chunk, m
 
-            tier_counts = np.asarray(tier_counts)
-            capacities = derive_retry_capacities(
-                tier_counts, chunk.shape[0], len(tier_counts)
-            )
-            probe_valid_fraction = float(np.asarray(v).mean())
-            if progress and capacities is not None:
-                print(f"  megabatch: probe capacities {[round(c, 4) for c in capacities]}",
-                      flush=True)
-        else:
-            s, v = solve_exact_sharded(
-                solver, jnp.asarray(chunk), mesh=mesh, key=chunk_key,
-                retry_capacities=capacities, **solve_kwargs,
-            )
-            if (
-                probing
-                and capacities is not None
-                and float(np.asarray(v).mean()) < probe_valid_fraction - 0.005
-            ):
-                # Capacity schedule stranded poses on this chunk — re-solve it
-                # uncapped (fresh key so the retry isn't a replay).
-                s, v = solve_exact_sharded(
-                    solver, jnp.asarray(chunk), mesh=mesh,
-                    key=jax.random.fold_in(chunk_key, 1),
-                    retry_capacities=None, **solve_kwargs,
-                )
+    starts = list(range(0, n, chunk_size))
+    if probing and starts:
+        # Probe chunk (blocks: the capacities gate everything downstream).
+        chunk, m = padded_chunk(0)
+        s, v, tier_counts = solve_exact_sharded(
+            solver, jnp.asarray(chunk), mesh=mesh, key=jax.random.fold_in(key, 0),
+            retry_capacities=None, return_tier_counts=True, **solve_kwargs,
+        )
+        from ikflow_tpu.solver import derive_retry_capacities
+
+        tier_counts = np.asarray(tier_counts)
+        capacities = derive_retry_capacities(tier_counts, chunk.shape[0], len(tier_counts))
+        probe_valid_fraction = float(np.asarray(v).mean())
+        sols_out[:m] = np.asarray(s)[:m]
+        valid_out[:m] = np.asarray(v)[:m]
+        starts = starts[1:]
+        if progress and capacities is not None:
+            print(f"  megabatch: probe capacities {[round(c, 4) for c in capacities]}",
+                  flush=True)
+
+    # Steady state: dispatch every remaining chunk WITHOUT blocking between
+    # them (jax async dispatch queues the fixed-shape programs back-to-back on
+    # the device; host->device uploads of chunk i+1 overlap chunk i's compute).
+    # Blocking per chunk would pay one tunnel round-trip per chunk — measured
+    # 73k sols/s on the 100k-pose serving shape vs ~200k+ with async dispatch.
+    pending = []
+    for start in starts:
+        chunk, m = padded_chunk(start)
+        s, v = solve_exact_sharded(
+            solver, jnp.asarray(chunk), mesh=mesh,
+            key=jax.random.fold_in(key, start), retry_capacities=capacities,
+            **solve_kwargs,
+        )
+        pending.append((start, m, s, v))
+
+    # Collect (synchronizes chunk-by-chunk in completion order).
+    degraded = []
+    for start, m, s, v in pending:
+        v_np = np.asarray(v)
         sols_out[start : start + m] = np.asarray(s)[:m]
-        valid_out[start : start + m] = np.asarray(v)[:m]
+        valid_out[start : start + m] = v_np[:m]
+        if (
+            probing
+            and capacities is not None
+            and float(v_np.mean()) < probe_valid_fraction - 0.005
+        ):
+            degraded.append((start, m))
         if progress:
             done = min(start + chunk_size, n)
             print(f"  megabatch: {done}/{n} poses ({100 * done / n:.0f}%)", flush=True)
+
+    # Rare: a capped chunk converged measurably fewer poses than the uncapped
+    # probe — its pose distribution outran the capacity schedule. Re-solve
+    # those chunks uncapped (fresh keys so the retry isn't a replay).
+    for start, m in degraded:
+        chunk, _ = padded_chunk(start)
+        s, v = solve_exact_sharded(
+            solver, jnp.asarray(chunk), mesh=mesh,
+            key=jax.random.fold_in(jax.random.fold_in(key, start), 1),
+            retry_capacities=None, **solve_kwargs,
+        )
+        sols_out[start : start + m] = np.asarray(s)[:m]
+        valid_out[start : start + m] = np.asarray(v)[:m]
+        if progress:
+            print(f"  megabatch: re-solved degraded chunk at {start} uncapped", flush=True)
     return sols_out, valid_out
 
 
