@@ -12,10 +12,18 @@ cd /root/repo
 OUT=/root/.cache/ikflow_tpu/training_logs
 FAIL=0
 
-# ---- 1. ne_highest leg rerun + A/B artifact.
-env IKFLOW_TPU_LM_NE_PRECISION=highest timeout 3600 python bench.py \
-    > "$OUT/bench_ne_highest_r4.json" 2> "$OUT/bench_ne_highest_r4.err"
-rc=$?
+# ---- 1. ne_highest leg rerun + A/B artifact. Up to 2 attempts: the first r4
+# attempt died on a transient tunnel remote-compile failure ("response body
+# closed"), which a retry survives (the XLA cache keeps the finished programs).
+rc=1
+for attempt in 1 2; do
+    env IKFLOW_TPU_LM_NE_PRECISION=highest timeout 3600 python bench.py \
+        > "$OUT/bench_ne_highest_r4.json" 2> "$OUT/bench_ne_highest_r4.err"
+    rc=$?
+    [ $rc -eq 0 ] && break
+    echo "ne_highest attempt $attempt failed rc=$rc; $(tail -3 "$OUT/bench_ne_highest_r4.err" | head -1)"
+    sleep 20
+done
 tail -1 "$OUT/bench_ne_highest_r4.json" || true
 if [ $rc -ne 0 ]; then echo "ne_highest leg FAILED rc=$rc"; FAIL=1; fi
 python - <<'PYEOF' && git add PRECISION_AB_r04.json && git commit -q -m "Round-4 NE-precision A/B artifact (both legs validated)" || FAIL=1
