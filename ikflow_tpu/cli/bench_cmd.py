@@ -197,11 +197,12 @@ def run(args: argparse.Namespace) -> int:
             robot.sample_joint_angles(kp, args.megabatch, joint_limit_eps=0.02)
         ))
         capacity_policy = "probe" if args.capacity == "probe" else None
-        # Compile + warm on one chunk before timing the stream (compiles both
-        # the uncapped probe program and, under the probe policy, the capped
-        # steady-state program).
+        # Warm-up = one full pass over the stream: the steady-state chunk size
+        # depends on n (capped chunks coalesce up to steady_chunk_max), so
+        # warming on a smaller pose set would leave the real steady program to
+        # compile inside the timed region.
         solve_exact_megabatch(
-            solver, poses[: 2 * args.chunk_size], chunk_size=args.chunk_size,
+            solver, poses, chunk_size=args.chunk_size,
             retry_capacities=capacity_policy,
             repeat_counts=tuple(args.repeat_counts), n_opt_steps_max=args.n_opt_steps_max,
             pos_error_threshold=EXACT_POS_TOL, rot_error_threshold=EXACT_ROT_TOL,

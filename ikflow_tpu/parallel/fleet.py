@@ -61,6 +61,7 @@ def solve_exact_megabatch(
     key: Optional[jax.Array] = None,
     progress: bool = False,
     retry_capacities="probe",
+    steady_chunk_max: int = 131072,
     **solve_kwargs,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact-IK over an arbitrarily large pose set by streaming fixed-shape
@@ -87,6 +88,16 @@ def solve_exact_megabatch(
       cost, never to abandoned poses.
     - an explicit tuple: used as-is for all chunks (no probe, no re-solve).
     - ``None``: every chunk uncapped (reference-shaped behavior).
+
+    ``steady_chunk_max``: once measured capacities are in hand, the capped
+    tier program touches ~(1 + 2*miss_1*r_2 + 2*miss_2*r_3)·rows ≈ 1.2-2·n
+    seed rows instead of the uncapped 14·n, so HBM permits MUCH larger chunks
+    than the probe's — and on a tunneled chip every extra chunk costs
+    dispatch/collection round-trips that dominate the stream (measured: 12
+    chunks of 8192 ran at 57k sols/s while the same poses in 2 programs run
+    >2x faster). Capped steady-state chunks therefore coalesce up to this
+    row count (default 128k; tier-1 activations ~1 GB at 1024-wide subnets).
+    Uncapped streams (policy ``None`` or a refused probe) keep ``chunk_size``.
     """
     mesh = mesh or make_mesh()
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -98,19 +109,19 @@ def solve_exact_megabatch(
     capacities = None if probing else retry_capacities
     probe_valid_fraction = None
 
-    def padded_chunk(start):
-        chunk = target_poses[start : start + chunk_size]
+    def padded_chunk(start, size):
+        chunk = target_poses[start : start + size]
         m = chunk.shape[0]
-        if m < chunk_size:  # pad ragged tail to keep the compiled shape
+        if m < size:  # pad ragged tail to keep the compiled shape
             chunk = np.concatenate(
-                [chunk, np.broadcast_to(chunk[:1], (chunk_size - m, 7))], axis=0
+                [chunk, np.broadcast_to(chunk[:1], (size - m, 7))], axis=0
             )
         return chunk, m
 
-    starts = list(range(0, n, chunk_size))
-    if probing and starts:
+    consumed = 0
+    if probing and n > 0:
         # Probe chunk (blocks: the capacities gate everything downstream).
-        chunk, m = padded_chunk(0)
+        chunk, m = padded_chunk(0, chunk_size)
         s, v, tier_counts = solve_exact_sharded(
             solver, jnp.asarray(chunk), mesh=mesh, key=jax.random.fold_in(key, 0),
             retry_capacities=None, return_tier_counts=True, **solve_kwargs,
@@ -122,19 +133,24 @@ def solve_exact_megabatch(
         probe_valid_fraction = float(np.asarray(v).mean())
         sols_out[:m] = np.asarray(s)[:m]
         valid_out[:m] = np.asarray(v)[:m]
-        starts = starts[1:]
+        consumed = m
         if progress and capacities is not None:
             print(f"  megabatch: probe capacities {[round(c, 4) for c in capacities]}",
                   flush=True)
 
-    # Steady state: dispatch every remaining chunk WITHOUT blocking between
-    # them (jax async dispatch queues the fixed-shape programs back-to-back on
-    # the device; host->device uploads of chunk i+1 overlap chunk i's compute).
-    # Blocking per chunk would pay one tunnel round-trip per chunk — measured
-    # 73k sols/s on the 100k-pose serving shape vs ~200k+ with async dispatch.
+    # Steady-state chunking: capped tiers have a ~10x smaller HBM footprint
+    # than the probe's uncapped ones, so coalesce (fewer chunks = fewer
+    # tunnel round-trips, the dominant cost of the stream).
+    steady = chunk_size if capacities is None else min(
+        max(chunk_size, n - consumed), steady_chunk_max
+    )
+
+    # Dispatch every remaining chunk WITHOUT blocking between them (jax async
+    # dispatch queues the fixed-shape programs back-to-back on the device;
+    # host->device uploads of chunk i+1 overlap chunk i's compute).
     pending = []
-    for start in starts:
-        chunk, m = padded_chunk(start)
+    for start in range(consumed, n, steady):
+        chunk, m = padded_chunk(start, steady)
         s, v = solve_exact_sharded(
             solver, jnp.asarray(chunk), mesh=mesh,
             key=jax.random.fold_in(key, start), retry_capacities=capacities,
@@ -151,25 +167,29 @@ def solve_exact_megabatch(
         if (
             probing
             and capacities is not None
-            and float(v_np.mean()) < probe_valid_fraction - 0.005
+            and float(v_np[:m].mean()) < probe_valid_fraction - 0.005
         ):
             degraded.append((start, m))
         if progress:
-            done = min(start + chunk_size, n)
+            done = min(start + steady, n)
             print(f"  megabatch: {done}/{n} poses ({100 * done / n:.0f}%)", flush=True)
 
     # Rare: a capped chunk converged measurably fewer poses than the uncapped
     # probe — its pose distribution outran the capacity schedule. Re-solve
-    # those chunks uncapped (fresh keys so the retry isn't a replay).
+    # those poses uncapped in probe-sized pieces (a steady-size uncapped
+    # program would pay the 14x-tile HBM footprint the coalescing relies on
+    # avoiding), with fresh keys so the retry isn't a replay.
     for start, m in degraded:
-        chunk, _ = padded_chunk(start)
-        s, v = solve_exact_sharded(
-            solver, jnp.asarray(chunk), mesh=mesh,
-            key=jax.random.fold_in(jax.random.fold_in(key, start), 1),
-            retry_capacities=None, **solve_kwargs,
-        )
-        sols_out[start : start + m] = np.asarray(s)[:m]
-        valid_out[start : start + m] = np.asarray(v)[:m]
+        for sub in range(start, start + m, chunk_size):
+            chunk, ms = padded_chunk(sub, chunk_size)
+            ms = min(ms, start + m - sub)
+            s, v = solve_exact_sharded(
+                solver, jnp.asarray(chunk), mesh=mesh,
+                key=jax.random.fold_in(jax.random.fold_in(key, sub), 1),
+                retry_capacities=None, **solve_kwargs,
+            )
+            sols_out[sub : sub + ms] = np.asarray(s)[:ms]
+            valid_out[sub : sub + ms] = np.asarray(v)[:ms]
         if progress:
             print(f"  megabatch: re-solved degraded chunk at {start} uncapped", flush=True)
     return sols_out, valid_out
