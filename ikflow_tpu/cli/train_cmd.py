@@ -53,6 +53,10 @@ def add_parser(sub):
     # Ops.
     p.add_argument("--smoke", action="store_true", help="tiny model + tiny run (CI)")
     p.add_argument("--resume", type=str, default=None, help="checkpoint dir to resume from")
+    p.add_argument("--init_npz", type=str, default=None,
+                   help="warm-start params from a deploy .npz artifact (optimizer state and "
+                        "step counter start fresh — use for annealing a shipped model when "
+                        "orbax checkpoints are gone; reference role: train_from_checkpoint.py)")
     p.add_argument("--export", type=str, default=None, help="deploy .npz path to write at the end")
     p.add_argument("--export_dtype", type=str, default=None,
                    help="storage dtype for the deploy artifact (e.g. float16; halves the file, "
@@ -140,6 +144,15 @@ def run(args: argparse.Namespace) -> int:
             dataset = load_dataset(args.robot_name, tuple(args.dataset_tags))
         except FileNotFoundError:
             print(f"dataset not found; generating {args.dataset_size} samples on-device")
+            # The generated dataset must carry the REQUESTED tags: filtering
+            # follows the tag set, and the saved copy must land in the same
+            # tag directory load_dataset will probe on a watchdog restart —
+            # otherwise a small run's save clobbers the default-tag cache and
+            # later runs silently load it (caught live in round 4: a 1024-row
+            # verification dataset was loaded by a 25M-sample training run).
+            import dataclasses
+
+            only_nsc = "non-self-colliding" in args.dataset_tags
             if args.on_device_data and not args.data_parallel:
                 # Resident path: the dataset is generated AND consumed on
                 # device — zero host round-trip (over a tunneled TPU, pulling
@@ -148,9 +161,17 @@ def run(args: argparse.Namespace) -> int:
                 # seconds instead of reloading from disk.
                 from ikflow_tpu.training.dataset import build_dataset_resident
 
-                dataset = build_dataset_resident(robot, training_set_size=args.dataset_size)
+                dataset = build_dataset_resident(
+                    robot, training_set_size=args.dataset_size,
+                    only_non_self_colliding=only_nsc,
+                )
+                dataset = dataclasses.replace(dataset, tags=tuple(args.dataset_tags))
             else:
-                dataset = build_dataset(robot, training_set_size=args.dataset_size)
+                dataset = build_dataset(
+                    robot, training_set_size=args.dataset_size,
+                    only_non_self_colliding=only_nsc,
+                )
+                dataset = dataclasses.replace(dataset, tags=tuple(args.dataset_tags))
                 # Persist so watchdog restarts / resumed runs skip regeneration
                 # (generation is minutes at the 2.5M default over a tunnel).
                 from ikflow_tpu.training.dataset import save_dataset
@@ -184,6 +205,17 @@ def run(args: argparse.Namespace) -> int:
         params = restored["params"]
         print(f"resumed from {args.resume} at step {start_step} "
               f"(opt_state {'restored' if opt_state is not None else 'reset'})")
+    elif args.init_npz:
+        from ikflow_tpu.training.checkpoints import load_deploy
+
+        params, deploy_header = load_deploy(args.init_npz, params)
+        assert deploy_header.get("robot_name") == robot.name, (
+            f"deploy artifact is for robot {deploy_header.get('robot_name')!r}, "
+            f"not {robot.name!r}"
+        )
+        print(f"warm-started from deploy artifact {args.init_npz} "
+              f"(previously trained to step {deploy_header.get('global_step')}; "
+              f"optimizer state fresh, step counter restarts at 0)")
 
     mesh = None
     if args.data_parallel:

@@ -398,3 +398,43 @@ def test_gradient_clip_by_global_norm():
         raise RuntimeError("should have raised")
     except ValueError as e:
         assert "gradient_clip_algorithm" in str(e)
+
+
+def test_train_cli_init_npz_warm_start(tmp_path, capsys):
+    """``train --init_npz`` warm-starts params from a deploy artifact (the
+    orbax-free path for annealing a shipped model; reference role:
+    ``scripts/train_from_checkpoint.py``)."""
+    from ikflow_tpu.cli.main import main
+
+    hp, robot, flow, params, q, poses = _setup(D=8)
+    deploy = str(tmp_path / "warm.npz")
+    from ikflow_tpu.training.checkpoints import export_deploy
+
+    export_deploy(deploy, params, hp, "panda", global_step=123,
+                  quality={"val_l2_error_mm": 5.0})
+    rc = main([
+        "train", "--robot_name", "panda", "--nb_nodes", "3",
+        "--dim_latent_space", "8", "--coeff_fn_config", "2",
+        "--coeff_fn_internal_size", "256", "--init_npz", deploy,
+        "--dataset_size", "1024", "--n_steps", "4", "--batch_size", "64",
+        "--eval_every", "1000", "--log_every", "2", "--checkpoint_every", "0",
+        "--val_set_size", "8", "--run_dir", str(tmp_path / "run"),
+        "--dataset_tags", "tiny-warmstart-fixture",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "warm-started from deploy artifact" in out
+    assert "previously trained to step 123" in out
+
+    # Wrong-robot artifact must fail loudly, not train silently.
+    export_deploy(str(tmp_path / "wrong.npz"), params, hp, "fetch", global_step=1)
+    with pytest.raises(AssertionError, match="deploy artifact is for robot"):
+        main([
+            "train", "--robot_name", "panda", "--nb_nodes", "3",
+            "--dim_latent_space", "8", "--coeff_fn_config", "2",
+            "--coeff_fn_internal_size", "256",
+            "--init_npz", str(tmp_path / "wrong.npz"),
+            "--dataset_size", "1024", "--n_steps", "2", "--batch_size", "64",
+            "--run_dir", str(tmp_path / "run2"),
+            "--dataset_tags", "tiny-warmstart-fixture",
+        ])
