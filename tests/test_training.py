@@ -425,6 +425,10 @@ def test_train_cli_init_npz_warm_start(tmp_path, capsys):
     assert rc == 0
     assert "warm-started from deploy artifact" in out
     assert "previously trained to step 123" in out
+    # The generation fallback must save under the REQUESTED tag directory —
+    # saving under the default tags let a tiny run clobber the default cache
+    # that a later full-size run silently loads (round-4 live incident).
+    assert "tag0=tiny-warmstart-fixture" in out, out
 
     # Wrong-robot artifact must fail loudly, not train silently.
     export_deploy(str(tmp_path / "wrong.npz"), params, hp, "fetch", global_step=1)
