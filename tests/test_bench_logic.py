@@ -34,3 +34,35 @@ def test_caps_never_exceed_full_width():
 
 def test_single_tier_always_full():
     assert derive_retry_capacities([100], 100, 1) == (1.0,)
+
+
+def test_run_with_retry_semantics():
+    """One retry on transient failures; degenerate-timing refusals stay fatal
+    (retrying those would launder a corrupt measurement into a number)."""
+    import pytest
+
+    from bench import run_with_retry
+    from ikflow_tpu.utils.profiling import DegenerateTimingError
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("response body closed")  # observed tunnel blip
+        return 0
+
+    assert run_with_retry(flaky) == 0
+    assert calls["n"] == 2
+
+    def always_broken():
+        raise RuntimeError("still broken")
+
+    with pytest.raises(RuntimeError, match="still broken"):
+        run_with_retry(always_broken)  # second failure propagates
+
+    def degenerate():
+        raise DegenerateTimingError("timing noise floor")
+
+    with pytest.raises(DegenerateTimingError):
+        run_with_retry(degenerate)  # no retry: must stay a refusal
