@@ -408,6 +408,14 @@ def test_train_cli_init_npz_warm_start(tmp_path, capsys):
 
     hp, robot, flow, params, q, poses = _setup(D=8)
     deploy = str(tmp_path / "warm.npz")
+    # The fixture tag may have a cached dataset from a previous run (the cache
+    # dir is shared state); purge it so the generation+save path always runs
+    # and the save-directory assertion below is deterministic.
+    import shutil
+
+    from ikflow_tpu.training.dataset import dataset_directory
+
+    shutil.rmtree(dataset_directory("panda", ("tiny-warmstart-fixture",)), ignore_errors=True)
     from ikflow_tpu.training.checkpoints import export_deploy
 
     export_deploy(deploy, params, hp, "panda", global_step=123,
