@@ -42,6 +42,15 @@ N_OPT_STEPS = 3
 POS_TOL = 1e-3
 ROT_TOL = 0.01
 TIMED_REPS = 5
+# Headline measurement hygiene (round 5): the r3/r4 headline spread (28%
+# across four same-protocol runs) traced to small differencing deltas — at
+# k_delta=5 the timed delta is ~16 ms of device work against several ms of
+# tunnel-RTT jitter, so a single accepted measurement can be off +-20%. The
+# exact leg now uses deltas of >=40 chained iterations (~130 ms device time,
+# noise <5%) and repeats the whole measurement N_MEASUREMENTS times,
+# reporting min/median/max in the JSON line.
+EXACT_K_DELTAS = (40, 120)
+N_MEASUREMENTS = 3
 
 
 # Degeneracy-rejecting differencing methodology (shared with the evaluate CLI
@@ -160,7 +169,7 @@ def main() -> int:
     valid_count = int(valid_count)
     compile_s += time.time() - t0
     t0 = time.time()
-    float(exact_jit(2 + TIMED_REPS)(solver.params, targets, ks)[0])  # compile large
+    float(exact_jit(2 + EXACT_K_DELTAS[0])(solver.params, targets, ks)[0])  # compile large
     compile_s += time.time() - t0
 
     # Guard: if the capped run converges fewer poses than the uncapped probe
@@ -171,12 +180,30 @@ def main() -> int:
         t0 = time.time()
         _, valid_count = exact_jit(2)(solver.params, targets, ks)
         valid_count = int(valid_count)
-        float(exact_jit(2 + TIMED_REPS)(solver.params, targets, ks)[0])
+        float(exact_jit(2 + EXACT_K_DELTAS[0])(solver.params, targets, ks)[0])
         compile_s += time.time() - t0
 
-    median_s = measure_per_iter_s(
-        build_exact, "exact-IK batch", k_deltas=(TIMED_REPS, 4 * TIMED_REPS)
-    )
+    # Host<->device round-trip jitter, for attribution: this is the noise the
+    # differencing deltas must clear. Measured on a trivial jitted program.
+    trivial = jax.jit(lambda x: x + 1.0)
+    float(trivial(jnp.float32(0.0)))  # compile
+    rtts = []
+    for _ in range(12):
+        t0 = time.time()
+        float(trivial(jnp.float32(0.0)))
+        rtts.append(time.time() - t0)
+    rtts.sort()
+    rtt_median_ms = 1000 * rtts[len(rtts) // 2]
+    rtt_spread_ms = 1000 * (rtts[-1] - rtts[0])
+
+    # N_MEASUREMENTS independent differenced measurements; the headline is the
+    # median and the min/max bound the run-to-run spread (VERDICT r4 weak #1).
+    per_iter_measurements = [
+        measure_per_iter_s(build_exact, "exact-IK batch", k_deltas=EXACT_K_DELTAS)
+        for _ in range(N_MEASUREMENTS)
+    ]
+    ordered = sorted(per_iter_measurements)
+    median_s = ordered[len(ordered) // 2]
     sols_per_s = N_POSES / median_s
 
     # Approximate-IK throughput (the reference's evaluate_inference_speed
@@ -209,10 +236,10 @@ def main() -> int:
 
     t0 = time.time()
     build_approx(2)(0)
-    build_approx(2 + TIMED_REPS)(0)
+    build_approx(2 + 4 * TIMED_REPS)(0)
     compile_s += time.time() - t0
     approx_s = measure_per_iter_s(
-        build_approx, "approx-IK batch", k_deltas=(TIMED_REPS, 4 * TIMED_REPS)
+        build_approx, "approx-IK batch", k_deltas=(4 * TIMED_REPS, 16 * TIMED_REPS)
     ) / 8.0
     approx_sols_per_s = N_POSES / approx_s
 
@@ -229,12 +256,12 @@ def main() -> int:
 
     t0 = time.time()
     build_single(2)(0)
-    build_single(2 + TIMED_REPS)(0)
+    build_single(2 + 8 * TIMED_REPS)(0)
     compile_s += time.time() - t0
     try:
         single_pose_s = measure_per_iter_s(
             build_single, "single-pose exact-IK",
-            k_deltas=(TIMED_REPS, 8 * TIMED_REPS),
+            k_deltas=(8 * TIMED_REPS, 32 * TIMED_REPS),
         )
     except DegenerateTimingError as e:
         print(f"WARNING: {e}", file=sys.stderr)
@@ -262,6 +289,14 @@ def main() -> int:
         "vs_baseline": round(sols_per_s / BASELINE_SOLS_PER_S, 3),
         "valid_fraction": round(valid_count / N_POSES, 4),
         "uncapped_valid_fraction": round(uncapped_valid_fraction, 4),
+        "repeats": N_MEASUREMENTS,
+        "sols_per_s_spread": {
+            "min": round(N_POSES / ordered[-1], 1),
+            "median": round(sols_per_s, 1),
+            "max": round(N_POSES / ordered[0], 1),
+        },
+        "per_iter_ms_measurements": [round(1000 * m, 4) for m in per_iter_measurements],
+        "rtt_ms": {"median": round(rtt_median_ms, 2), "spread": round(rtt_spread_ms, 2)},
         "tier_valid_counts": [int(c) for c in tier_counts],
         "p50_latency_ms_per_batch": round(1000 * median_s, 2),
         "approx_ik_solutions_per_s": round(approx_sols_per_s, 1),

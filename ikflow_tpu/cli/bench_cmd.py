@@ -33,8 +33,14 @@ def add_parser(sub):
                    help="1-device vs all-devices exact-IK scaling efficiency")
     p.add_argument("--megabatch", type=int, default=None,
                    help="streaming exact-IK over N poses in fixed-shape chunks (serving scale)")
-    p.add_argument("--chunk_size", type=int, default=8192,
-                   help="poses per compiled chunk for --megabatch")
+    p.add_argument("--chunk_size", type=int, default=2048,
+                   help="probe/tail chunk size for --megabatch (the uncapped probe "
+                        "pays ~14x per-pose work, so this stays small; the default "
+                        "matches the committed MEGABATCH artifact)")
+    p.add_argument("--steady_chunk", type=int, default=16384,
+                   help="capped steady-state chunk size for --megabatch (several "
+                        "mid-size chunks overlap device->host collection with "
+                        "compute; the default matches the committed artifact)")
     p.add_argument("--compare", action="store_true",
                    help="4-method comparison: flow-approx / native-LM / flow+LM exact / "
                         "native-LM seeded by flow (parity: scripts/benchmark_runtime.py)")
@@ -42,13 +48,15 @@ def add_parser(sub):
                    help="measure with RTT-cancelling chained-scan differencing (device "
                         "time; refuses noise-dominated measurements) instead of per-call "
                         "wall clock. Applies to --mode approx/exact/both.")
-    p.add_argument("--capacity", choices=["probe", "full"], default="probe",
+    p.add_argument("--capacity", choices=["probe", "full", "compact"], default="probe",
                    help="retry-tier capacity policy for exact IK: 'probe' derives "
                         "per-tier capacities from a measured uncapped probe at each "
                         "batch size (2x headroom over observed miss rates; falls back "
                         "to full width when tier-1 misses >40%%, e.g. untrained "
                         "weights); 'full' re-solves every pose in every tier "
-                        "(reference-shaped, ikflow_solver.py:389 without the shrink)")
+                        "(reference-shaped, ikflow_solver.py:389 without the shrink); "
+                        "'compact' (--megabatch only, its default) retries only the "
+                        "measured misses via host-side cross-chunk compaction")
     p.set_defaults(func=run)
     return p
 
@@ -196,31 +204,37 @@ def run(args: argparse.Namespace) -> int:
         poses = np.asarray(robot.forward_kinematics(
             robot.sample_joint_angles(kp, args.megabatch, joint_limit_eps=0.02)
         ))
-        capacity_policy = "probe" if args.capacity == "probe" else None
-        # Warm-up = one full pass over the stream: the steady-state chunk size
-        # depends on n (capped chunks coalesce up to steady_chunk_max), so
-        # warming on a smaller pose set would leave the real steady program to
-        # compile inside the timed region.
-        solve_exact_megabatch(
-            solver, poses, chunk_size=args.chunk_size,
+        capacity_policy = {"probe": "probe", "compact": "compact", "full": None}[args.capacity]
+        common = dict(
+            chunk_size=args.chunk_size, steady_chunk=args.steady_chunk,
             retry_capacities=capacity_policy,
             repeat_counts=tuple(args.repeat_counts), n_opt_steps_max=args.n_opt_steps_max,
             pos_error_threshold=EXACT_POS_TOL, rot_error_threshold=EXACT_ROT_TOL,
             allow_uninitialized=args.uninitialized,
         )
+        # Warm-up = one full pass over the stream: compiles the probe, steady
+        # and tail programs and populates the capacity cache.
+        solve_exact_megabatch(solver, poses, **common)
+        # Cold leg: fresh probe every call (first-request behavior).
         t0 = _time.time()
         _, valids = solve_exact_megabatch(
-            solver, poses, chunk_size=args.chunk_size, progress=True,
-            retry_capacities=capacity_policy,
-            repeat_counts=tuple(args.repeat_counts), n_opt_steps_max=args.n_opt_steps_max,
-            pos_error_threshold=EXACT_POS_TOL, rot_error_threshold=EXACT_ROT_TOL,
-            allow_uninitialized=args.uninitialized,
+            solver, poses, progress=True, capacity_cache=False, **common
         )
         sec = _time.time() - t0
+        # Warm leg: steady-state serving — cached capacities, no probe chunk.
+        t0 = _time.time()
+        _, valids_warm = solve_exact_megabatch(
+            solver, poses, capacity_cache=True, **common
+        )
+        sec_warm = _time.time() - t0
         print(json.dumps({
-            "mode": "exact_megabatch", "n": args.megabatch, "chunk_size": args.chunk_size,
+            "mode": "exact_megabatch", "n": args.megabatch,
+            "chunk_size": args.chunk_size, "steady_chunk": args.steady_chunk,
             "seconds": round(sec, 3), "sols_per_s": round(args.megabatch / sec, 1),
             "valid_fraction": round(float(valids.mean()), 4),
+            "warm_seconds": round(sec_warm, 3),
+            "warm_sols_per_s": round(args.megabatch / sec_warm, 1),
+            "warm_valid_fraction": round(float(valids_warm.mean()), 4),
             "capacity": args.capacity,
         }))
         return 0
@@ -242,7 +256,10 @@ def run(args: argparse.Namespace) -> int:
 
                 build = chained_approx_build(solver, poses, ks, scale_iters=8)
                 try:
-                    t = measure_per_iter_s(build, f"approx n={n}", k_deltas=(5, 20)) / 8.0
+                    # Wide deltas: small ones (5 iters) leave the differenced
+                    # delta comparable to tunnel-RTT jitter (r4's 28% headline
+                    # spread — see bench.py EXACT_K_DELTAS and DESIGN.md).
+                    t = measure_per_iter_s(build, f"approx n={n}", k_deltas=(20, 80)) / 8.0
                     emit({"mode": "approx", "batch": n, "seconds": t,
                           "sols_per_s": n / t, "methodology": "differencing"})
                 except DegenerateTimingError as e:
@@ -308,7 +325,7 @@ def run(args: argparse.Namespace) -> int:
                     n_opt_steps_max=args.n_opt_steps_max, capacities=capacities,
                 )
                 try:
-                    t = measure_per_iter_s(build, f"exact n={n}", k_deltas=(5, 20))
+                    t = measure_per_iter_s(build, f"exact n={n}", k_deltas=(20, 80))
                     emit({
                         "mode": "exact", "batch": n, "seconds": t, "sols_per_s": n / t,
                         "methodology": "differencing", **row_common,

@@ -61,9 +61,12 @@ def add_parser(sub):
     p.add_argument("--export_dtype", type=str, default=None,
                    help="storage dtype for the deploy artifact (e.g. float16; halves the file, "
                         "cast back to model dtype at load)")
-    p.add_argument("--export_gate_mm", type=float, default=100.0,
-                   help="refuse the deploy export if final val l2 error exceeds this (mm); "
-                        "diverged weights must not ship silently")
+    p.add_argument("--export_gate_mm", type=float, default=None,
+                   help="refuse the deploy export if final val l2 error exceeds this (mm). "
+                        "Default: resolved from the central per-model policy "
+                        "(model_descriptions.yaml export_gate_mm, backstop 100), always "
+                        "tightened by the no-regression rule against an existing target "
+                        "artifact's quality header (checkpoints.resolve_export_gate)")
     p.add_argument("--export_force", action="store_true",
                    help="bypass the export quality gate (the header still records the bad metric)")
     p.add_argument("--run_dir", type=str, default=None)
@@ -152,7 +155,9 @@ def run(args: argparse.Namespace) -> int:
             # verification dataset was loaded by a 25M-sample training run).
             import dataclasses
 
-            only_nsc = "non-self-colliding" in args.dataset_tags
+            from ikflow_tpu.config import DATASET_TAG_NON_SELF_COLLIDING
+
+            only_nsc = DATASET_TAG_NON_SELF_COLLIDING in args.dataset_tags
             if args.on_device_data and not args.data_parallel:
                 # Resident path: the dataset is generated AND consumed on
                 # device — zero host round-trip (over a tunneled TPU, pulling
@@ -209,10 +214,28 @@ def run(args: argparse.Namespace) -> int:
         from ikflow_tpu.training.checkpoints import load_deploy
 
         params, deploy_header = load_deploy(args.init_npz, params)
-        assert deploy_header.get("robot_name") == robot.name, (
-            f"deploy artifact is for robot {deploy_header.get('robot_name')!r}, "
-            f"not {robot.name!r}"
-        )
+        if deploy_header.get("robot_name") != robot.name:
+            raise ValueError(
+                f"deploy artifact is for robot {deploy_header.get('robot_name')!r}, "
+                f"not {robot.name!r}"
+            )
+        # Shape-invariant hyperparameters must match too: params loaded under a
+        # different output head / clamp / softflow setting would pass the leaf
+        # shape check but train a different model than the artifact describes.
+        # (softflow_noise_scale is deliberately NOT checked: it is a
+        # training-time conditioning knob an anneal may legitimately change.)
+        artifact_hp = deploy_header.get("hyper_parameters", {})
+        for field in ("sigmoid_on_output", "softflow_enabled", "rnvp_clamp",
+                      "clamp_activation"):
+            want, got = getattr(hp, field), artifact_hp.get(field, getattr(hp, field))
+            if got != want:
+                raise ValueError(
+                    f"--init_npz hyperparameter mismatch: artifact has "
+                    f"{field}={got!r} but the CLI flags build {field}={want!r}. "
+                    f"Match the flags to the artifact, or convert the artifact "
+                    f"(e.g. scripts_dev/convert_softflow_init.py for a "
+                    f"softflow->sigmoid head change)."
+                )
         print(f"warm-started from deploy artifact {args.init_npz} "
               f"(previously trained to step {deploy_header.get('global_step')}; "
               f"optimizer state fresh, step counter restarts at 0)")
@@ -284,7 +307,7 @@ def run(args: argparse.Namespace) -> int:
               f"final tr/loss={metrics.get('tr/loss', float('nan')):.4f}; run dir: {run_dir}")
 
     if args.export:
-        from ikflow_tpu.training.checkpoints import DeployQualityError
+        from ikflow_tpu.training.checkpoints import DeployQualityError, resolve_export_gate
 
         # Grade the final params so the artifact header carries its own
         # quality and the gate has a fresh number (the last periodic eval can
@@ -295,6 +318,8 @@ def run(args: argparse.Namespace) -> int:
             "val_l2_error_mm": val.get("val/l2_error_mm", float("nan")),
             "val_angular_error_deg": val.get("val/angular_error_deg", float("nan")),
         }
+        gate_mm, gate_source = resolve_export_gate(args.export, args.export_gate_mm)
+        print(f"deploy gate: {gate_mm} mm ({gate_source})")
         # metrics["step"] is the step actually reached (a --time_budget_s run
         # can stop well before n_steps).
         try:
@@ -303,7 +328,7 @@ def run(args: argparse.Namespace) -> int:
                 global_step=int(metrics.get("step", cfg.n_steps)),
                 dtype=args.export_dtype,
                 quality=quality,
-                max_val_l2_mm=None if args.export_force else args.export_gate_mm,
+                max_val_l2_mm=None if args.export_force else gate_mm,
             )
             print(f"exported deploy artifact -> {path} "
                   f"(val l2 {quality['val_l2_error_mm']:.2f} mm)")

@@ -62,6 +62,25 @@ def calculate_self_collisions(robot, configs: jnp.ndarray) -> jnp.ndarray:
     return robot.config_self_collides(configs)
 
 
+def solution_diversity(solutions: jnp.ndarray, n_poses: int, n_samples: int) -> jnp.ndarray:
+    """Per-pose solution spread: mean pairwise joint-space L2 distance (rad).
+
+    First-party extension beyond the reference's evaluation surface: the
+    IKFlow paper's selling point is *diverse* solutions per pose, but neither
+    the reference nor its scripts grade diversity. ``solutions`` is the
+    ``(n_poses * n_samples, ndof)`` batch produced by evaluating
+    ``n_samples`` latent draws per pose (pose-major repeat, as in
+    ``evaluate --all``); returns ``(n_poses,)`` mean over the
+    ``n_samples * (n_samples - 1)`` ordered pairs. A mode-collapsed model
+    scores ~0 even when accurate; a healthy conditional flow spreads over the
+    self-motion manifold.
+    """
+    assert n_samples >= 2, "diversity needs at least 2 samples per pose"
+    sols = solutions.reshape(n_poses, n_samples, solutions.shape[-1])
+    d = jnp.linalg.norm(sols[:, :, None, :] - sols[:, None, :, :], axis=-1)
+    return jnp.sum(d, axis=(1, 2)) / (n_samples * (n_samples - 1))
+
+
 def evaluate_solutions(robot, target_poses: jnp.ndarray, solutions: jnp.ndarray) -> SolutionEvaluation:
     """Full grading bundle (``evaluation_utils.py:130-147``)."""
     l2, ang = solution_pose_errors(robot, solutions, target_poses)

@@ -143,10 +143,17 @@ def refine(
     the geodesic rotation angle (quaternion log map), so no extra FK pass is
     needed per check.
 
-    With ``restart_key`` set, a pose whose damping has saturated at
-    ``lambd_max`` without converging (a hopeless basin — typically a seed whose
-    solution manifold lies outside the joint limits) gets a fresh uniform
-    random seed, turning the fixed-shape loop into a self-restarting solver.
+    With ``restart_key`` set, a pose whose damping climbs to
+    ``restart_lambd`` (default 3.0) on a REJECTED step while still invalid
+    gets a fresh uniform random seed, turning the fixed-shape loop into a
+    self-restarting solver. The restart fires deliberately early — far below
+    ``lambd_max``: from ``lambd=1e-4``, reaching 3.0 means ~7 consecutive
+    rejected steps (x5.0 each), and with a 3-step production budget only
+    already-hopeless basins (seeds whose solution manifold lies outside the
+    joint limits) ever climb that far; waiting for ``lambd_max`` (1e3, ~4
+    more rejections) would just burn the remaining budget in a basin that
+    cannot converge. The threshold is measured behavior, asserted by
+    ``tests/test_lm.py::test_restart_fires_at_restart_lambd``.
 
     Returns (captured_q, captured_valid, q_final).
     """

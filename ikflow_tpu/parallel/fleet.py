@@ -15,6 +15,7 @@ Also provides the scaling-efficiency harness the reference lacks entirely
 from __future__ import annotations
 
 import time
+import weakref
 from typing import Optional, Tuple
 
 import jax
@@ -22,6 +23,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ikflow_tpu.parallel.mesh import DATA_AXIS, batch_sharding, make_mesh
+
+# Measured retry capacities per (solver, params, protocol): lets steady-state
+# serving skip the uncapped probe chunk on every megabatch call after the
+# first. Keyed weakly on the solver; ``id(solver.params)`` in the inner key
+# invalidates naturally when new weights are installed. Entries are dropped
+# whenever a monitored chunk degrades (see solve_exact_megabatch).
+_CAPACITY_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def solve_exact_sharded(
@@ -53,135 +61,324 @@ def solve_exact_sharded(
     return sols[:n], valids[:n]
 
 
+def _padded_chunk(poses: np.ndarray, start: int, size: int):
+    chunk = poses[start : start + size]
+    m = chunk.shape[0]
+    if m < size:  # pad ragged tail to keep the compiled shape
+        chunk = np.concatenate(
+            [chunk, np.broadcast_to(chunk[:1], (size - m, 7))], axis=0
+        )
+    return chunk, m
+
+
+_PACK_JIT = None
+
+
+def _pack(s, v):
+    """Fuse (solutions, valids) into ONE device array per chunk so collection
+    costs one transfer round-trip instead of two — on a tunneled chip each
+    blocking device->host call pays ~tens of ms of RTT regardless of size,
+    and the per-chunk RTT count (not bandwidth) dominates the stream."""
+    global _PACK_JIT
+    if _PACK_JIT is None:
+        _PACK_JIT = jax.jit(
+            lambda s, v: jnp.concatenate([s, v[:, None].astype(s.dtype)], axis=1)
+        )
+    return _PACK_JIT(s, v)
+
+
+def _unpack(packed, m):
+    arr = np.asarray(packed)[:m]
+    return arr[:, :-1], arr[:, -1] > 0.5
+
+
+class _PoseStore:
+    """Device-resident pose set with per-size jitted fetchers.
+
+    The pose array crosses the link ONCE (``device_put``); every chunk is a
+    ``dynamic_slice`` (contiguous) or ``take`` (retry gather) executed on
+    device, so streaming 100k poses uploads 2.8 MB once instead of
+    re-uploading per chunk. Tail windows SHIFT LEFT instead of padding: the
+    final chunk covers ``[n - size, n)`` with real poses; the overlap with
+    the previous chunk is re-solved and merged first-valid-wins on the host
+    (cheaper than compiling a padded shape and transferring dead rows).
+    """
+
+    def __init__(self, target_poses: np.ndarray):
+        self.np = target_poses
+        self.n = target_poses.shape[0]
+        self.dev = jax.device_put(jnp.asarray(target_poses))
+        self._slicers = {}
+        self._gatherers = {}
+
+    def slice(self, start: int, size: int):
+        """-> (chunk_dev (size, 7), index array of the real rows)."""
+        if self.n >= size:
+            start_eff = min(start, self.n - size)
+            fn = self._slicers.get(size)
+            if fn is None:
+                fn = self._slicers[size] = jax.jit(
+                    lambda p, s, _n=size: jax.lax.dynamic_slice_in_dim(p, s, _n, axis=0)
+                )
+            return fn(self.dev, jnp.int32(start_eff)), np.arange(start_eff, start_eff + size)
+        chunk, m = _padded_chunk(self.np, 0, size)
+        return jnp.asarray(chunk), np.arange(0, m)
+
+    def gather(self, idx: np.ndarray, size: int):
+        """-> (chunk_dev (size, 7), the idx array) — poses at ``idx`` (len <=
+        size), padded on device by repeating ``idx[0]`` (padded rows sit at
+        the END, so callers slice results to ``len(idx)``)."""
+        pad = size - idx.shape[0]
+        idxp = np.concatenate([idx, np.full(pad, idx[0], idx.dtype)]) if pad else idx
+        fn = self._gatherers.get(size)
+        if fn is None:
+            fn = self._gatherers[size] = jax.jit(
+                lambda p, i: jnp.take(p, i, axis=0)
+            )
+        return fn(self.dev, jnp.asarray(idxp, dtype=jnp.int32)), idx
+
+
+def _plan(total: int, sizes) -> list:
+    """Greedy fixed-shape chunk plan over ``total`` rows: largest sizes
+    first, one smallest-size window for any remainder (the fetchers shift or
+    pad it). Returns [(start, size)]."""
+    plan, pos = [], 0
+    for size in sorted(set(sizes), reverse=True):
+        while total - pos >= size:
+            plan.append((pos, size))
+            pos += size
+    if pos < total:
+        plan.append((pos, min(sizes)))
+    return plan
+
+
+def _solve_megabatch_compact(
+    solver, target_poses, chunk_size, steady, mesh, key, progress,
+    repeat_counts, solve_kwargs,
+):
+    """Cross-chunk compaction: single-tier pass over everything, then retry
+    ONLY the measured misses, tier by tier. See solve_exact_megabatch."""
+    n = target_poses.shape[0]
+    sols_out = np.zeros((n, solver.ndof), dtype=np.float32)
+    valid_out = np.zeros((n,), dtype=bool)
+    store = _PoseStore(target_poses)
+    mid = max(chunk_size, steady // 4)
+    pass1_sizes = (steady, mid, chunk_size)
+    retry_sizes = (mid, chunk_size)
+
+    def dispatch(r, salt, idx=None):
+        """Async-dispatch fixed-shape single-tier chunks; -> [(rows, m, packed)]."""
+        total = n if idx is None else idx.shape[0]
+        k = jax.random.fold_in(key, salt)
+        pending = []
+        for pos, size in _plan(total, pass1_sizes if idx is None else retry_sizes):
+            if idx is None:
+                chunk, rows = store.slice(pos, size)
+            else:
+                chunk, rows = store.gather(idx[pos : pos + size], size)
+            s, v = solve_exact_sharded(
+                solver, chunk, mesh=mesh, key=jax.random.fold_in(k, pos),
+                retry_capacities=None, repeat_counts=(r,), **solve_kwargs,
+            )
+            pending.append((rows, rows.shape[0], _pack(s, v)))
+        return pending
+
+    def collect(pending, label):
+        got = 0
+        for rows, m, packed in pending:
+            s_np, v_np = _unpack(packed, m)
+            # First-valid-wins merge: shifted tail windows overlap the
+            # previous chunk, and a re-solve (different key) must never
+            # downgrade an already-valid pose.
+            fresh = ~valid_out[rows]
+            sols_out[rows[fresh]] = s_np[fresh]
+            valid_out[rows] |= v_np
+            got += int(v_np.sum())
+            if progress:
+                print(f"  megabatch: {label}: +{m} rows collected", flush=True)
+        return got
+
+    pending = dispatch(repeat_counts[0], 0)
+    collect(pending, "tier 1")
+    # Retry tiers: exact host-side compaction of the misses (the megabatch
+    # analog of the reference's dynamic retry-batch shrinking,
+    # ikflow_solver.py:389 — fixed shapes on device, dynamic set on host).
+    for tier_idx, r in enumerate(repeat_counts[1:], start=1):
+        miss = np.flatnonzero(~valid_out)
+        if miss.size == 0:
+            break
+        got = collect(dispatch(r, tier_idx, idx=miss), f"tier {tier_idx + 1} (x{r})")
+        if progress:
+            print(f"  megabatch: tier {tier_idx + 1}: retried {miss.size}, "
+                  f"converged {got}", flush=True)
+    return sols_out, valid_out
+
+
 def solve_exact_megabatch(
     solver,
     target_poses,
-    chunk_size: int = 8192,
+    chunk_size: int = 2048,
     mesh=None,
     key: Optional[jax.Array] = None,
     progress: bool = False,
-    retry_capacities="probe",
+    retry_capacities="compact",
+    steady_chunk: int = 32768,
     steady_chunk_max: int = 131072,
+    capacity_cache: bool = True,
+    repeat_counts: Tuple[int, ...] = (1, 3, 10),
     **solve_kwargs,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact-IK over an arbitrarily large pose set by streaming fixed-shape
-    chunks through ONE compiled tier program.
+    chunks through a small set of compiled tier programs.
 
     The 100k-poses-at-scale serving shape (BASELINE.json config 4): a single
     jit over 100k poses x 10 repeat tiles would hold ~1M x 1024-wide subnet
-    activations live in HBM, so instead the pose stream is cut into
-    ``chunk_size`` pieces, each padded to exactly chunk_size (constant shape =
-    one compile, reused for every chunk including the ragged last one) and
-    sharded over the mesh. Results land in preallocated host arrays —
-    device memory stays bounded by one chunk regardless of n.
+    activations live in HBM, so instead the pose stream is cut into fixed-size
+    pieces (constant shapes = few compiles, reused for every chunk) and
+    sharded over the mesh. Poses live in a device-resident store (ONE upload;
+    chunks are device-side slices/gathers), results are packed to one array
+    per chunk (ONE device->host round-trip each), and all chunks dispatch
+    asynchronously so collection overlaps compute. Host memory holds the
+    result arrays; device memory stays bounded by one chunk regardless of n.
 
-    ``retry_capacities`` (the serving-scale throughput lever — uncapped, every
-    retry tier re-solves all chunk poses x its repeat count, ~14x the tier-1
-    work for tiers (1,3,10) regardless of how few poses actually missed):
+    ``retry_capacities`` — the serving-scale throughput lever (uncapped,
+    every retry tier re-solves all chunk poses x its repeat count, ~14x the
+    tier-1 work for tiers (1,3,10) regardless of how few poses missed):
 
-    - ``"probe"`` (default): the FIRST chunk runs uncapped with per-tier valid
-      counts, its results are kept, and measured capacities
-      (``solver.derive_retry_capacities``, 2x headroom over observed miss
-      rates) drive every remaining chunk. Per-chunk validity is monitored: any
-      capped chunk whose valid fraction drops >0.5% below the probe's is
-      re-solved uncapped, so a drifting pose distribution degrades to probe
-      cost, never to abandoned poses.
-    - an explicit tuple: used as-is for all chunks (no probe, no re-solve).
+    - ``"compact"`` (default, round 5): tier 1 runs once over the whole
+      stream; the still-invalid poses are gathered ON THE HOST and each retry
+      tier solves only that compacted set in fixed-shape chunks. Total work
+      is ~n x (1 + miss_1*r_2 + miss_2*r_3) seed rows — strictly less than
+      any capped in-batch schedule (which needs 2x-headroom buckets inside
+      every chunk), there is no probe chunk to pay for and no capacity to
+      derive, and cold == warm. This is the megabatch-scale analog of the
+      reference's dynamic retry-batch shrinking (``ikflow_solver.py:389``):
+      shapes stay fixed per compiled program; the *set* shrinks on the host
+      between tiers. Costs one blocking host sync per retry tier — see
+      docs/DESIGN.md for when ``"probe"`` wins on high-RTT links.
+    - ``"probe"``: ONE ``chunk_size`` chunk runs uncapped with per-tier
+      valid counts; measured capacities (2x headroom) drive capped
+      steady-state chunks, validity-monitored (a degraded chunk re-solves
+      uncapped). Zero inter-tier host syncs — the in-batch alternative for
+      latency-sensitive or high-RTT serving.
+    - an explicit tuple: capped as-is for all chunks (no probe, no monitor).
     - ``None``: every chunk uncapped (reference-shaped behavior).
 
-    ``steady_chunk_max``: once measured capacities are in hand, the capped
-    tier program touches ~(1 + 2*miss_1*r_2 + 2*miss_2*r_3)·rows ≈ 1.2-2·n
-    seed rows instead of the uncapped 14·n, so HBM permits MUCH larger chunks
-    than the probe's — and on a tunneled chip every extra chunk costs
-    dispatch/collection round-trips that dominate the stream (measured: 12
-    chunks of 8192 ran at 57k sols/s while the same poses in 2 programs run
-    >2x faster). Capped steady-state chunks therefore coalesce up to this
-    row count (default 128k; tier-1 activations ~1 GB at 1024-wide subnets).
-    Uncapped streams (policy ``None`` or a refused probe) keep ``chunk_size``.
+    Chunk sizes (measured shape; numbers in docs/DESIGN.md): ``steady_chunk``
+    (default 32768) amortizes per-chunk dispatch/collection round-trips —
+    the dominant stream cost on a tunneled chip — while keeping several
+    chunks in flight so collection overlaps compute; ``chunk_size`` (default
+    2048) sizes the probe and the smallest retry/tail pieces.
+
+    ``capacity_cache`` (``"probe"`` policy only): remember measured
+    capacities per (solver, params, protocol) so later calls skip the probe;
+    a degraded chunk drops the entry. ``capacity_cache=False`` forces a
+    fresh probe per call.
     """
     mesh = mesh or make_mesh()
     key = key if key is not None else jax.random.PRNGKey(0)
     target_poses = np.asarray(target_poses)
     n = target_poses.shape[0]
+    steady = min(steady_chunk, steady_chunk_max)
+    if retry_capacities == "compact":
+        return _solve_megabatch_compact(
+            solver, target_poses, chunk_size, steady, mesh, key, progress,
+            tuple(repeat_counts), solve_kwargs,
+        )
+
     sols_out = np.zeros((n, solver.ndof), dtype=np.float32)
     valid_out = np.zeros((n,), dtype=bool)
     probing = retry_capacities == "probe"
     capacities = None if probing else retry_capacities
     probe_valid_fraction = None
+    solve_kwargs = dict(solve_kwargs, repeat_counts=tuple(repeat_counts))
+    store = _PoseStore(target_poses)
 
-    def padded_chunk(start, size):
-        chunk = target_poses[start : start + size]
-        m = chunk.shape[0]
-        if m < size:  # pad ragged tail to keep the compiled shape
-            chunk = np.concatenate(
-                [chunk, np.broadcast_to(chunk[:1], (size - m, 7))], axis=0
-            )
-        return chunk, m
+    # Protocol key for the capacity cache: weights identity + everything that
+    # changes the solve's convergence profile.
+    cache_store = _CAPACITY_CACHE.setdefault(solver, {})
+    proto_key = (
+        id(solver.params),
+        tuple(sorted((k, str(v)) for k, v in solve_kwargs.items())),
+    )
 
     consumed = 0
-    if probing and n > 0:
+    if probing and capacity_cache and proto_key in cache_store:
+        capacities, probe_valid_fraction = cache_store[proto_key]
+        if progress:
+            print("  megabatch: reusing cached probe capacities "
+                  f"{capacities and [round(c, 4) for c in capacities]}", flush=True)
+    elif probing and n > 0:
         # Probe chunk (blocks: the capacities gate everything downstream).
-        chunk, m = padded_chunk(0, chunk_size)
+        chunk, rows = store.slice(0, min(chunk_size, n))
         s, v, tier_counts = solve_exact_sharded(
-            solver, jnp.asarray(chunk), mesh=mesh, key=jax.random.fold_in(key, 0),
+            solver, chunk, mesh=mesh, key=jax.random.fold_in(key, 0),
             retry_capacities=None, return_tier_counts=True, **solve_kwargs,
         )
         from ikflow_tpu.solver import derive_retry_capacities
 
-        tier_counts = np.asarray(tier_counts)
+        packed, tier_counts = jax.device_get((_pack(s, v), tier_counts))
+        s_np, v_np = _unpack(packed, rows.shape[0])
         capacities = derive_retry_capacities(tier_counts, chunk.shape[0], len(tier_counts))
-        probe_valid_fraction = float(np.asarray(v).mean())
-        sols_out[:m] = np.asarray(s)[:m]
-        valid_out[:m] = np.asarray(v)[:m]
-        consumed = m
+        probe_valid_fraction = float(v_np.mean())
+        sols_out[rows] = s_np
+        valid_out[rows] = v_np
+        consumed = int(rows[-1]) + 1
+        if capacity_cache:
+            cache_store[proto_key] = (capacities, probe_valid_fraction)
         if progress and capacities is not None:
             print(f"  megabatch: probe capacities {[round(c, 4) for c in capacities]}",
                   flush=True)
 
-    # Steady-state chunking: capped tiers have a ~10x smaller HBM footprint
-    # than the probe's uncapped ones, so coalesce (fewer chunks = fewer
-    # tunnel round-trips, the dominant cost of the stream).
-    steady = chunk_size if capacities is None else min(
-        max(chunk_size, n - consumed), steady_chunk_max
-    )
+    if capacities is None:
+        steady = chunk_size  # uncapped chunks pay the full 14x-tile HBM footprint
 
     # Dispatch every remaining chunk WITHOUT blocking between them (jax async
-    # dispatch queues the fixed-shape programs back-to-back on the device;
-    # host->device uploads of chunk i+1 overlap chunk i's compute).
+    # dispatch queues the fixed-shape programs back-to-back on the device).
+    # The plan uses full steady chunks plus one smallest-size window for the
+    # remainder; the store shifts tail windows onto real poses and the merge
+    # below is first-valid-wins, so overlap never downgrades a solved pose.
+    mid = max(chunk_size, steady // 4)
+    sizes = (steady, mid, chunk_size) if capacities is not None else (chunk_size,)
     pending = []
-    for start in range(consumed, n, steady):
-        chunk, m = padded_chunk(start, steady)
+    for pos, size in _plan(n - consumed, sizes):
+        chunk, rows = store.slice(consumed + pos, size)
         s, v = solve_exact_sharded(
-            solver, jnp.asarray(chunk), mesh=mesh,
-            key=jax.random.fold_in(key, start), retry_capacities=capacities,
+            solver, chunk, mesh=mesh,
+            key=jax.random.fold_in(key, consumed + pos), retry_capacities=capacities,
             **solve_kwargs,
         )
-        pending.append((start, m, s, v))
+        pending.append((rows, _pack(s, v)))
 
-    # Collect (synchronizes chunk-by-chunk in completion order).
+    # Collect (synchronizes chunk-by-chunk in dispatch order; one packed
+    # transfer per chunk — per-transfer round-trips are the stream's tax).
     degraded = []
-    for start, m, s, v in pending:
-        v_np = np.asarray(v)
-        sols_out[start : start + m] = np.asarray(s)[:m]
-        valid_out[start : start + m] = v_np[:m]
+    for rows, packed in pending:
+        s_np, v_np = _unpack(packed, rows.shape[0])
+        fresh = ~valid_out[rows]
+        sols_out[rows[fresh]] = s_np[fresh]
+        valid_out[rows] |= v_np
         if (
             probing
             and capacities is not None
-            and float(v_np[:m].mean()) < probe_valid_fraction - 0.005
+            and float(v_np.mean()) < probe_valid_fraction - 0.005
         ):
-            degraded.append((start, m))
+            degraded.append((int(rows[0]), rows.shape[0]))
         if progress:
-            done = min(start + steady, n)
+            done = int(rows[-1]) + 1
             print(f"  megabatch: {done}/{n} poses ({100 * done / n:.0f}%)", flush=True)
+    if degraded:
+        # Stale/undersized capacity schedule: never serve it to the next call.
+        cache_store.pop(proto_key, None)
 
     # Rare: a capped chunk converged measurably fewer poses than the uncapped
     # probe — its pose distribution outran the capacity schedule. Re-solve
     # those poses uncapped in probe-sized pieces (a steady-size uncapped
-    # program would pay the 14x-tile HBM footprint the coalescing relies on
-    # avoiding), with fresh keys so the retry isn't a replay.
+    # program would pay the 14x-tile HBM footprint), with fresh keys so the
+    # retry isn't a replay.
     for start, m in degraded:
         for sub in range(start, start + m, chunk_size):
-            chunk, ms = padded_chunk(sub, chunk_size)
+            chunk, ms = _padded_chunk(target_poses, sub, chunk_size)
             ms = min(ms, start + m - sub)
             s, v = solve_exact_sharded(
                 solver, jnp.asarray(chunk), mesh=mesh,
@@ -193,6 +390,7 @@ def solve_exact_megabatch(
         if progress:
             print(f"  megabatch: re-solved degraded chunk at {start} uncapped", flush=True)
     return sols_out, valid_out
+
 
 
 def scaling_efficiency(

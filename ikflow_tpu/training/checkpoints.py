@@ -84,6 +84,85 @@ class DeployQualityError(ValueError):
     exported from a run whose own metrics said ``val/l2_error_mm: Infinity``)."""
 
 
+# No-regression tolerance for the incumbent rule below: re-exporting an
+# artifact of statistically-equal quality (e.g. the end-of-run export after a
+# periodic export of the same weights) must not be refused over val noise.
+INCUMBENT_TOLERANCE_MM = 0.25
+
+
+def read_deploy_header(path: str) -> Optional[Dict]:
+    """Header dict of a deploy artifact, or None if unreadable/absent."""
+    try:
+        with np.load(path) as z:
+            return json.loads(bytes(z["__header__"]).decode())
+    except Exception:
+        return None
+
+
+def registry_gate_mm(artifact_path: str) -> Optional[float]:
+    """Per-model deploy-gate policy for an artifact path, from the registry.
+
+    The single source of truth is ``model_descriptions.yaml``'s
+    ``export_gate_mm`` field (round-5 centralization — gate values previously
+    lived scattered across shell scripts). Matching is by artifact basename
+    against each entry's ``weights_path``. Returns None for artifacts no
+    registry entry ships.
+    """
+    from ikflow_tpu.registry import model_descriptions
+
+    base = os.path.basename(artifact_path)
+    if not base.endswith(".npz"):
+        base += ".npz"
+    for entry in model_descriptions().values():
+        wp = entry.get("weights_path")
+        if wp and os.path.basename(wp) == base and "export_gate_mm" in entry:
+            return float(entry["export_gate_mm"])
+    return None
+
+
+def resolve_export_gate(
+    artifact_path: str, policy_gate_mm: Optional[float] = None
+) -> Tuple[Optional[float], str]:
+    """Effective deploy gate (mm) for exporting to ``artifact_path``.
+
+    One policy, consumed by every export path (trainer ``--export``, the
+    fallback exporter ``scripts_dev/export_from_checkpoint.py``, finalize
+    scripts):
+
+    1. The base bound is ``policy_gate_mm`` if given, else the registry's
+       ``export_gate_mm`` for this artifact, else 100 mm (the historical
+       diverged-weights backstop).
+    2. **Incumbent rule** (when the target artifact already exists with a
+       quality header, incumbent val ``v``): the effective gate is
+       ``max(v, min(base, v + INCUMBENT_TOLERANCE_MM))`` — i.e. an export is
+       allowed iff it improves on the shipped model OR meets the policy bar
+       without regressing the incumbent beyond val-measurement noise. This
+       is the round-4 "beat-the-incumbent" rule made symmetric: a
+       still-above-policy improvement ships (the sigmoid-finalize case), but
+       a worse-than-shipped export never silently overwrites a better model
+       even when it would meet the policy bar.
+
+    Returns ``(gate_mm, source)`` where ``source`` documents the resolution
+    for logs/headers.
+    """
+    base = policy_gate_mm
+    source = f"explicit {base}" if base is not None else None
+    if base is None:
+        base = registry_gate_mm(artifact_path)
+        source = f"registry {base}" if base is not None else None
+    if base is None:
+        base, source = 100.0, "default backstop 100.0"
+    header = read_deploy_header(artifact_path) if os.path.exists(artifact_path) else None
+    incumbent = (header or {}).get("quality", {}).get("val_l2_error_mm")
+    if incumbent is not None and np.isfinite(incumbent):
+        v = float(incumbent)
+        bound = max(v, min(base, v + INCUMBENT_TOLERANCE_MM))
+        if bound != base:
+            return bound, (f"{source}; incumbent rule (shipped val {v:.2f}, "
+                           f"tolerance {INCUMBENT_TOLERANCE_MM})")
+    return base, source
+
+
 def export_deploy(
     path: str,
     params,
@@ -127,7 +206,9 @@ def export_deploy(
         "stored_dtype": dtype or "native",
     }
     if quality is not None:
-        header["quality"] = {k: float(v) for k, v in quality.items()}
+        header["quality"] = {
+            k: (v if isinstance(v, str) else float(v)) for k, v in quality.items()
+        }
         header["quality_gate_mm"] = max_val_l2_mm
     flat = _flatten_params(params)
     if dtype is not None:

@@ -34,37 +34,17 @@ def main() -> int:
                     help="must match the training run: softflow adds a conditioning "
                          "dim, so a mismatch fails the restore template shape check")
     ap.add_argument("--gate_mm", type=float, default=None,
-                    help="refuse the export if the run's last val/l2_error_mm (read from "
-                         "<ckpt_dir>/../metrics.jsonl) exceeds this — keeps the fallback "
-                         "path from shipping weights the trainer's own gate refused")
+                    help="explicit quality-gate override (mm). Default: resolved from "
+                         "the central per-model policy + incumbent rule "
+                         "(training/checkpoints.py::resolve_export_gate), exactly like "
+                         "the trainer's --export path")
     args = ap.parse_args()
 
     import json
     import math
     import os
 
-    # Last recorded val quality: gates the export AND goes into the header so
-    # the fallback artifact is as self-describing as a trainer export.
-    metrics_path = os.path.join(os.path.dirname(os.path.abspath(args.ckpt_dir)),
-                                "metrics.jsonl")
-    last_val = None
-    last_ang = None
-    if os.path.exists(metrics_path):
-        with open(metrics_path) as f:
-            for line in f:
-                try:
-                    m = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if "val/l2_error_mm" in m:
-                    last_val = float(m["val/l2_error_mm"])
-                    last_ang = float(m.get("val/angular_error_deg", float("nan")))
-
-    if args.gate_mm is not None:
-        if last_val is None or not math.isfinite(last_val) or last_val > args.gate_mm:
-            print(f"EXPORT REFUSED (fallback gate): last val/l2_error_mm={last_val} "
-                  f"vs gate {args.gate_mm} mm")
-            return 1
+    from ikflow_tpu.training.checkpoints import resolve_export_gate
 
     robot = get_robot(args.robot_name)
     hp = FlowHyperParams()
@@ -86,12 +66,40 @@ def main() -> int:
         )
     except ValueError:
         restored, step = restore_checkpoint(args.ckpt_dir, template={"params": template})
-    quality = None
-    if last_val is not None:
-        quality = {"val_l2_error_mm": last_val, "val_angular_error_deg": last_ang}
+
+    # Val quality MATCHED TO THE RESTORED STEP (checkpoint_every and
+    # eval_every need not coincide, so "the last val record" can describe
+    # weights newer than the checkpoint actually restored): take the latest
+    # val record with step <= restored step, and refuse if none exists — a
+    # gate passed on someone else's number is no gate at all.
+    metrics_path = os.path.join(os.path.dirname(os.path.abspath(args.ckpt_dir)),
+                                "metrics.jsonl")
+    last_val = last_ang = None
+    val_step = None
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            for line in f:
+                try:
+                    m = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "val/l2_error_mm" in m and float(m.get("step", math.inf)) <= step:
+                    last_val = float(m["val/l2_error_mm"])
+                    last_ang = float(m.get("val/angular_error_deg", float("nan")))
+                    val_step = m.get("step")
+    if last_val is None:
+        print(f"EXPORT REFUSED: no val record at step <= {step} in {metrics_path} — "
+              f"cannot grade the restored weights")
+        return 1
+
+    gate_mm, gate_source = resolve_export_gate(args.out, args.gate_mm)
+    print(f"deploy gate: {gate_mm} mm ({gate_source}); "
+          f"val {last_val:.2f} mm at step {val_step} (restored step {step})")
+    quality = {"val_l2_error_mm": last_val, "val_angular_error_deg": last_ang,
+               "quality_source": f"metrics.jsonl step {val_step} (checkpoint step {step})"}
     path = export_deploy(args.out, restored["params"], hp, robot.name, global_step=step,
                          dtype=args.dtype, quality=quality,
-                         max_val_l2_mm=args.gate_mm)
+                         max_val_l2_mm=gate_mm)
     print(f"exported {path} from checkpoint step {step}")
     return 0
 

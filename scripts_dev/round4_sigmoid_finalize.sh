@@ -14,6 +14,11 @@ while pgrep -f "train_with_watchdog.sh /root/.cache/ikflow_tpu/training_logs/sig
 done
 sleep 20  # let the dying trainer release TPU HBM
 
+# Fail fast when the launch mark is missing (-nt is TRUE against a missing
+# file, which would make this script treat a stale artifact as a fresh
+# trainer export and re-commit it as "boosted").
+[ -f "$MARK" ] || { echo "launch mark $MARK missing — aborting finalize"; exit 1; }
+
 if [ ! "$NPZ" -nt "$MARK" ]; then
     # The trainer's 14.0 mm gate refused. Any val materially better than the
     # shipped artifact's 18.96 mm is still worth shipping: fall back to

@@ -3,12 +3,16 @@
 The round-4 fallback exporter (pre-fix) wrote artifacts with no ``quality``
 field, regressing the r3 invariant that every shipped .npz is
 self-describing. This re-measures val quality for the named artifacts with
-EXACTLY the trainer's export-time protocol — ``Trainer.validate`` on the
-deterministic seed-0 test split, key = PRNGKey(seed+7) — and rewrites the
-.npz header in place (params untouched).
+the trainer's export-time *procedure* — ``Trainer.validate`` on a seed-0
+``build_dataset`` test split, key = PRNGKey(seed+7) — and rewrites the .npz
+header in place (params untouched).
 
-Runs on CPU; the test split is deterministic in the generation seed, so the
-measurement matches what the trainer itself would have embedded.
+Caveat (recorded in the stamped ``quality_source``): runs trained with
+``--on_device_data`` drew their test split from ``build_dataset_resident``
+(redraw-compaction ``lax.scan``), which is a different RNG draw than the
+rejection-sampled ``build_dataset`` split used here. The stamped number is a
+same-distribution val measurement at the default 128-pose size, not a replay
+of the training run's own split.
 """
 
 from __future__ import annotations
@@ -59,7 +63,11 @@ def main() -> int:
     arrays = {k: z[k] for k in z.files if k != "__header__"}
     header["quality"] = {"val_l2_error_mm": float(l2), "val_angular_error_deg": float(ang)}
     header["quality_gate_mm"] = args.gate_mm
-    header["quality_source"] = "re-measured post-hoc (scripts_dev/stamp_quality_headers.py)"
+    header["quality_source"] = (
+        f"re-measured post-hoc (scripts_dev/stamp_quality_headers.py): "
+        f"build_dataset seed-0 split, n={args.val_set_size} — NOT the "
+        f"training run's own split if it used --on_device_data"
+    )
     np.savez_compressed(
         args.npz, __header__=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
         **arrays,

@@ -75,3 +75,28 @@ def test_limit_and_collision_wrappers_delegate():
         np.asarray(robot.config_self_collides(q)),
     )
     assert bool(np.asarray(calculate_joint_limits_exceeded(robot, q))[:8].all())
+
+
+def test_solution_diversity_zero_for_collapsed_and_exact_for_known_case():
+    from ikflow_tpu.evaluation import solution_diversity
+
+    # Mode-collapsed: identical samples per pose -> diversity exactly 0.
+    base = jnp.tile(jnp.arange(7.0)[None, :], (3 * 4, 1))
+    div = solution_diversity(base, n_poses=3, n_samples=4)
+    np.testing.assert_allclose(np.asarray(div), 0.0, atol=1e-7)
+
+    # Known 2-sample case: mean pairwise distance == the one pair's distance.
+    a = jnp.zeros((1, 7))
+    b = jnp.ones((1, 7))
+    sols = jnp.concatenate([a, b], axis=0)  # one pose, two samples
+    div = solution_diversity(sols, n_poses=1, n_samples=2)
+    np.testing.assert_allclose(np.asarray(div), np.sqrt(7.0), rtol=1e-6)
+
+    # Permuting the samples within a pose leaves the metric unchanged.
+    sols3 = jnp.concatenate([a, b, 2 * b], axis=0)
+    sols3_perm = jnp.concatenate([2 * b, a, b], axis=0)
+    np.testing.assert_allclose(
+        np.asarray(solution_diversity(sols3, 1, 3)),
+        np.asarray(solution_diversity(sols3_perm, 1, 3)),
+        rtol=1e-6,
+    )

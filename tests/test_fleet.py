@@ -47,6 +47,61 @@ def test_solve_exact_megabatch_streams_ragged_chunks():
     assert float(jnp.max(rot_err)) < 0.1 + 1e-6
 
 
+def test_megabatch_compact_retries_only_misses():
+    """'compact' policy (round-5 default): tier 1 over everything, retry
+    tiers solve only the host-compacted miss set; every valid solution meets
+    tolerance and retried poses keep first-valid-wins semantics."""
+    from ikflow_tpu.lm import config_pose_errors
+    from ikflow_tpu.parallel.fleet import solve_exact_megabatch
+
+    hp = tiny_model_params()
+    hp.dim_latent_space = 8
+    solver = IKFlowSolver(hp, get_robot("panda"), seed=0)
+    robot = solver.robot
+    poses = robot.forward_kinematics(robot.sample_joint_angles(jax.random.PRNGKey(2), 70))
+    sols, valids = solve_exact_megabatch(
+        solver, poses, chunk_size=16, key=jax.random.PRNGKey(1),
+        retry_capacities="compact", repeat_counts=(1, 2, 4), n_opt_steps_max=20,
+        allow_uninitialized=True,
+    )
+    assert sols.shape == (70, 7) and valids.shape == (70,)
+    assert valids.any()
+    pos_err, rot_err = config_pose_errors(robot, jnp.asarray(sols[valids]), poses[valids])
+    assert float(jnp.max(pos_err)) < 1e-3 + 1e-6
+    assert float(jnp.max(rot_err)) < 0.1 + 1e-6
+
+
+def test_megabatch_probe_capacity_cache_reuse():
+    """'probe' policy caches measured capacities per (solver, params,
+    protocol); a second call must reuse them (no second probe entry)."""
+    from ikflow_tpu.parallel import fleet
+
+    hp = tiny_model_params()
+    hp.dim_latent_space = 8
+    solver = IKFlowSolver(hp, get_robot("panda"), seed=0)
+    robot = solver.robot
+    poses = robot.forward_kinematics(robot.sample_joint_angles(jax.random.PRNGKey(0), 40))
+    # Loose tolerances make every pose trivially valid — per-chunk validity
+    # fluctuations of an under-budgeted solve legitimately drop the cache
+    # entry (degraded-chunk handling), which is not what this test probes.
+    kwargs = dict(chunk_size=16, retry_capacities="probe", repeat_counts=(2,),
+                  n_opt_steps_max=1, pos_error_threshold=10.0,
+                  rot_error_threshold=10.0, allow_uninitialized=True)
+    fleet.solve_exact_megabatch(solver, poses, key=jax.random.PRNGKey(1), **kwargs)
+    store = fleet._CAPACITY_CACHE.get(solver)
+    assert store and len(store) == 1, "probe call must populate the capacity cache"
+    entry = next(iter(store.values()))
+    sols, valids = fleet.solve_exact_megabatch(
+        solver, poses, key=jax.random.PRNGKey(2), **kwargs
+    )
+    assert next(iter(store.values())) == entry, "second call must reuse, not re-probe"
+    assert sols.shape == (40, 7)
+    # New weights invalidate the protocol key (id(params) changes).
+    solver.set_params(jax.tree_util.tree_map(lambda x: x, solver.params))
+    fleet.solve_exact_megabatch(solver, poses, key=jax.random.PRNGKey(3), **kwargs)
+    assert len(store) == 2
+
+
 def test_scaling_harness_rows():
     from ikflow_tpu.parallel.fleet import scaling_efficiency
 

@@ -440,7 +440,7 @@ def test_train_cli_init_npz_warm_start(tmp_path, capsys):
 
     # Wrong-robot artifact must fail loudly, not train silently.
     export_deploy(str(tmp_path / "wrong.npz"), params, hp, "fetch", global_step=1)
-    with pytest.raises(AssertionError, match="deploy artifact is for robot"):
+    with pytest.raises(ValueError, match="deploy artifact is for robot"):
         main([
             "train", "--robot_name", "panda", "--nb_nodes", "3",
             "--dim_latent_space", "8", "--coeff_fn_config", "2",
