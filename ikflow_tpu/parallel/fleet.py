@@ -52,7 +52,17 @@ def solve_exact_sharded(
     if n_pad != n:
         pad = jnp.broadcast_to(target_poses[:1], (n_pad - n, 7))
         target_poses = jnp.concatenate([target_poses, pad], axis=0)
-    poses_sharded = jax.device_put(target_poses, batch_sharding(mesh))
+    want = batch_sharding(mesh)
+    if isinstance(target_poses, jax.Array) and target_poses.sharding.is_equivalent_to(
+        want, target_poses.ndim
+    ):
+        # Already laid out for this mesh (e.g. a _PoseStore device-side
+        # slice): re-device_put with an explicit sharding is NOT free on a
+        # remote/tunneled backend — measured round-5: it round-trips the
+        # chunk through the host, ~0.15 s per 32k chunk.
+        poses_sharded = target_poses
+    else:
+        poses_sharded = jax.device_put(target_poses, want)
     out = solver.generate_exact_ik_solutions(poses_sharded, **solve_kwargs)
     if solve_kwargs.get("return_tier_counts"):
         sols, valids, tier_counts = out
@@ -152,6 +162,47 @@ def _plan(total: int, sizes) -> list:
     return plan
 
 
+_FUSED_SOLVE_KEYS = {
+    "pos_error_threshold", "rot_error_threshold", "n_opt_steps_max",
+    "lambd", "latent_scale", "allow_uninitialized",
+}
+
+
+def _fused_chunk_fn(solver, size, r, gather, sk):
+    """ONE jit program per (chunk size, repeat count, fetch kind): fetch the
+    chunk from the device-resident pose store (dynamic_slice or take), fold
+    the chunk tag into the pass key, run the single-tier solve, and pack
+    (sols, valids) into one output array.
+
+    Measured round-5 motivation: on the tunneled chip every separate program
+    dispatch costs ~10-25 ms host-side, so the naive
+    fold_in -> slice -> solve -> pack chain (~5 tiny programs per chunk)
+    dominated the stream; fused, a chunk costs ONE dispatch and ONE
+    collection round-trip. Programs are cached in ``solver._jit_cache`` so
+    repeated megabatch calls reuse them.
+    """
+    cache_key = ("megafused", size, r, gather, tuple(sorted(sk.items())))
+    fn = solver._jit_cache.get(cache_key)
+    if fn is not None:
+        return fn
+
+    def impl(params, aux, poses_dev, fetch, tag, key0):
+        if gather:
+            chunk = jnp.take(poses_dev, fetch, axis=0)
+        else:
+            chunk = jax.lax.dynamic_slice_in_dim(poses_dev, fetch, size, axis=0)
+        k = jax.random.fold_in(key0, tag)
+        sols, valids = solver._exact_impl(
+            params, aux, chunk, k, (r,), sk["pos_error_threshold"],
+            sk["rot_error_threshold"], sk["n_opt_steps_max"], sk["lambd"],
+            sk["latent_scale"], None,
+        )
+        return jnp.concatenate([sols, valids[:, None].astype(sols.dtype)], axis=1)
+
+    fn = solver._jit_cache[cache_key] = jax.jit(impl)
+    return fn
+
+
 def _solve_megabatch_compact(
     solver, target_poses, chunk_size, steady, mesh, key, progress,
     repeat_counts, solve_kwargs,
@@ -165,6 +216,24 @@ def _solve_megabatch_compact(
     mid = max(chunk_size, steady // 4)
     pass1_sizes = (steady, mid, chunk_size)
     retry_sizes = (mid, chunk_size)
+    unknown = set(solve_kwargs) - _FUSED_SOLVE_KEYS
+    if unknown:
+        raise TypeError(f"unsupported megabatch solve kwargs: {sorted(unknown)}")
+    if not solve_kwargs.get("allow_uninitialized", False):
+        assert solver._weights_loaded, "Model weights have not been loaded."
+    sk = {
+        "pos_error_threshold": float(solve_kwargs.get("pos_error_threshold", 1e-3)),
+        "rot_error_threshold": float(solve_kwargs.get("rot_error_threshold", 0.1)),
+        "n_opt_steps_max": int(solve_kwargs.get("n_opt_steps_max", 3)),
+        "lambd": float(solve_kwargs.get("lambd", 1e-4)),
+        "latent_scale": float(solve_kwargs.get("latent_scale", 0.75)),
+    }
+    # The fused single-dispatch path runs on one device; a >1-device mesh
+    # falls back to the sharded per-chunk path (production pods attach their
+    # chips locally, where per-dispatch overhead is microseconds — the fused
+    # path exists for remote/tunneled single-chip serving).
+    single_device = mesh.devices.size == 1
+    aux = solver._padded_params if solver._use_pallas else solver.params
 
     def dispatch(r, salt, idx=None):
         """Async-dispatch fixed-shape single-tier chunks; -> [(rows, m, packed)]."""
@@ -172,15 +241,33 @@ def _solve_megabatch_compact(
         k = jax.random.fold_in(key, salt)
         pending = []
         for pos, size in _plan(total, pass1_sizes if idx is None else retry_sizes):
-            if idx is None:
-                chunk, rows = store.slice(pos, size)
+            use_gather = idx is not None or total < size
+            if single_device:
+                if use_gather:
+                    base = idx[pos : pos + size] if idx is not None else np.arange(pos, total)
+                    pad = size - base.shape[0]
+                    fetch = (np.concatenate([base, np.full(pad, base[0], base.dtype)])
+                             if pad else base)
+                    rows = base
+                    fn = _fused_chunk_fn(solver, size, r, True, sk)
+                    packed = fn(solver.params, aux, store.dev,
+                                jnp.asarray(fetch, jnp.int32), pos, k)
+                else:
+                    start_eff = min(pos, n - size)
+                    rows = np.arange(start_eff, start_eff + size)
+                    fn = _fused_chunk_fn(solver, size, r, False, sk)
+                    packed = fn(solver.params, aux, store.dev, start_eff, pos, k)
             else:
-                chunk, rows = store.gather(idx[pos : pos + size], size)
-            s, v = solve_exact_sharded(
-                solver, chunk, mesh=mesh, key=jax.random.fold_in(k, pos),
-                retry_capacities=None, repeat_counts=(r,), **solve_kwargs,
-            )
-            pending.append((rows, rows.shape[0], _pack(s, v)))
+                if use_gather and idx is not None:
+                    chunk, rows = store.gather(idx[pos : pos + size], size)
+                else:
+                    chunk, rows = store.slice(pos, size)
+                s, v = solve_exact_sharded(
+                    solver, chunk, mesh=mesh, key=jax.random.fold_in(k, pos),
+                    retry_capacities=None, repeat_counts=(r,), **solve_kwargs,
+                )
+                packed = _pack(s, v)
+            pending.append((rows, rows.shape[0], packed))
         return pending
 
     def collect(pending, label):

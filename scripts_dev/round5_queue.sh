@@ -28,7 +28,7 @@ JAX_PLATFORMS=cpu python scripts_dev/grow_flow_init.py \
 # ---- 1. Sigmoid flagship: 12 blocks, bounded output head. LR per the
 # DESIGN.md rule (>=4e-5 until the final decay at this batch size); warmup
 # eases the zero-init blocks in; norm clipping guards deep-stack spikes.
-bash "$W" "$LOGS/sigmoid_full_r5" 6300 \
+bash "$W" "$LOGS/sigmoid_full_r5" 5100 \
     --robot_name panda --nb_nodes 12 --dim_latent_space 7 \
     --sigmoid_on_output --disable_softflow \
     --init_npz "$GROW_INIT" \
@@ -36,29 +36,29 @@ bash "$W" "$LOGS/sigmoid_full_r5" 6300 \
     --gradient_clip_algorithm norm --gradient_clip_val 1.0 \
     --batch_size 2048 --n_steps 1500000 --eval_every 10000 --log_every 2500 \
     --checkpoint_every 20000 --on_device_data --steps_per_call 500 \
-    --dataset_size 25000000 --time_budget_s 6000 \
+    --dataset_size 25000000 --time_budget_s 4800 \
     --export /root/repo/models/panda__full_sigmoid.npz --export_dtype float16
 
 # ---- 2. rizon4: warm-start anneal from the shipped 200k-step artifact.
-bash "$W" "$LOGS/rizon4_r5" 5400 \
+bash "$W" "$LOGS/rizon4_r5" 4200 \
     --robot_name rizon4 --nb_nodes 12 --dim_latent_space 7 \
     --init_npz /root/repo/models/rizon4__full.npz \
     --learning_rate 8e-5 --gamma 0.9 --step_lr_every 120000 --warmup_steps 1000 \
     --gradient_clip_algorithm norm --gradient_clip_val 1.0 \
     --batch_size 2048 --n_steps 1000000 --eval_every 10000 --log_every 2500 \
     --checkpoint_every 20000 --on_device_data --steps_per_call 500 \
-    --dataset_size 25000000 --time_budget_s 5100 \
+    --dataset_size 25000000 --time_budget_s 3900 \
     --export /root/repo/models/rizon4__full.npz --export_dtype float16
 
 # ---- 3. fetch__large: polish anneal from 380k steps (val 10.16 mm).
-bash "$W" "$LOGS/fetch_large_r5" 3000 \
+bash "$W" "$LOGS/fetch_large_r5" 2400 \
     --robot_name fetch --nb_nodes 16 --dim_latent_space 8 \
     --init_npz /root/repo/models/fetch__large.npz \
     --learning_rate 5e-5 --gamma 0.85 --step_lr_every 60000 --warmup_steps 2000 \
     --gradient_clip_algorithm norm --gradient_clip_val 1.0 \
     --batch_size 2048 --n_steps 500000 --eval_every 10000 --log_every 2500 \
     --checkpoint_every 20000 --on_device_data --steps_per_call 500 \
-    --dataset_size 25000000 --time_budget_s 2700 \
+    --dataset_size 25000000 --time_budget_s 2100 \
     --export /root/repo/models/fetch__large.npz --export_dtype float16
 
 echo "round5_queue done"

@@ -71,6 +71,34 @@ def test_megabatch_compact_retries_only_misses():
     assert float(jnp.max(rot_err)) < 0.1 + 1e-6
 
 
+def test_megabatch_compact_fused_single_device_matches_contract():
+    """On a 1-device mesh the compact path uses fused single-dispatch chunk
+    programs (fetch + solve + pack in one jit); results must satisfy the same
+    contract as the sharded fallback."""
+    from ikflow_tpu.lm import config_pose_errors
+    from ikflow_tpu.parallel.fleet import solve_exact_megabatch
+    from ikflow_tpu.parallel.mesh import make_mesh
+
+    hp = tiny_model_params()
+    hp.dim_latent_space = 8
+    solver = IKFlowSolver(hp, get_robot("panda"), seed=0)
+    robot = solver.robot
+    poses = robot.forward_kinematics(robot.sample_joint_angles(jax.random.PRNGKey(5), 70))
+    mesh1 = make_mesh(jax.devices()[:1])
+    sols, valids = solve_exact_megabatch(
+        solver, poses, chunk_size=16, mesh=mesh1, key=jax.random.PRNGKey(1),
+        retry_capacities="compact", repeat_counts=(1, 2, 4), n_opt_steps_max=20,
+        allow_uninitialized=True,
+    )
+    assert sols.shape == (70, 7) and valids.any()
+    pos_err, rot_err = config_pose_errors(robot, jnp.asarray(sols[valids]), poses[valids])
+    assert float(jnp.max(pos_err)) < 1e-3 + 1e-6
+    assert float(jnp.max(rot_err)) < 0.1 + 1e-6
+    # Fused programs are cached on the solver for reuse across calls.
+    assert any(isinstance(k, tuple) and k and k[0] == "megafused"
+               for k in solver._jit_cache)
+
+
 def test_megabatch_probe_capacity_cache_reuse():
     """'probe' policy caches measured capacities per (solver, params,
     protocol); a second call must reuse them (no second probe entry)."""
