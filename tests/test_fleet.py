@@ -158,3 +158,22 @@ def test_pallas_fused_inverse_matches_jnp_interpret():
     ref, _ = flow.inverse(params, z, cond)
     fused = flow.inverse_fused(padded, z, cond, tile_b=128, interpret=True)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(fused), atol=1e-4)
+
+
+def test_megabatch_explicit_and_none_policies():
+    """Explicit capacity tuples are used as-is; None streams uncapped."""
+    from ikflow_tpu.parallel.fleet import solve_exact_megabatch
+
+    hp = tiny_model_params()
+    hp.dim_latent_space = 8
+    solver = IKFlowSolver(hp, get_robot("panda"), seed=0)
+    robot = solver.robot
+    poses = robot.forward_kinematics(robot.sample_joint_angles(jax.random.PRNGKey(7), 40))
+    for policy in ((1.0, 0.5), None):
+        sols, valids = solve_exact_megabatch(
+            solver, poses, chunk_size=16, key=jax.random.PRNGKey(1),
+            retry_capacities=policy, repeat_counts=(2, 2), n_opt_steps_max=15,
+            allow_uninitialized=True,
+        )
+        assert sols.shape == (40, 7) and valids.shape == (40,)
+        assert valids.any()
