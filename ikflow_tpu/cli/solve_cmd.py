@@ -17,6 +17,13 @@ def add_parser(sub):
                    metavar=("X", "Y", "Z", "QW", "QX", "QY", "QZ"))
     p.add_argument("-n", "--n_solutions", type=int, default=10)
     p.add_argument("--exact", action="store_true")
+    p.add_argument("--diverse", action="store_true",
+                   help="maximize joint-space spread: draw n x --oversample "
+                        "candidates and keep the farthest-point subset "
+                        "(solver.generate_diverse_ik_solutions; first-party "
+                        "extension — plain sampling clusters at the density mode)")
+    p.add_argument("--oversample", type=int, default=4,
+                   help="candidate multiplier for --diverse")
     p.add_argument("--uninitialized", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(func=run)
@@ -50,6 +57,20 @@ def run(args: argparse.Namespace) -> int:
         )
         for i in range(args.n_solutions):
             print(f"[{'ok' if bool(valids[i]) else 'FAIL'}] {np.asarray(sols[i]).round(5)}")
+    elif args.diverse:
+        from ikflow_tpu.evaluation import solution_diversity, solution_pose_errors
+
+        sols = solver.generate_diverse_ik_solutions(
+            pose, n=args.n_solutions, oversample=args.oversample, key=key,
+            allow_uninitialized=args.uninitialized,
+        )
+        pos_e, rot_e = solution_pose_errors(solver.robot, sols, pose)
+        for i in range(args.n_solutions):
+            print(f"q={np.asarray(sols[i]).round(5)}  pos_err={float(pos_e[i]) * 1000:.2f}mm "
+                  f"rot_err={float(jnp.rad2deg(rot_e[i])):.2f}deg")
+        div = float(solution_diversity(sols, 1, args.n_solutions)[0])
+        print(f"mean pairwise spread: {div:.3f} rad over {args.n_solutions} solutions "
+              f"(farthest-point subset of {args.n_solutions * args.oversample} candidates)")
     else:
         sols, pos_e, rot_e, jl, sc = solver.generate_ik_solutions(
             pose, n=args.n_solutions, key=key, return_detailed=True,

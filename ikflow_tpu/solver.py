@@ -255,6 +255,65 @@ class IKFlowSolver:
         return fn
 
     # ------------------------------------------------------------------
+    def generate_diverse_ik_solutions(
+        self,
+        y: jnp.ndarray,
+        n: int,
+        oversample: int = 4,
+        latent_scale: float = 1.0,
+        key: Optional[jax.Array] = None,
+        allow_uninitialized: bool = False,
+    ) -> jnp.ndarray:
+        """``n`` solutions for ONE pose, selected for joint-space diversity.
+
+        First-party extension (no reference counterpart): the IKFlow paper's
+        selling point is *diverse* solutions, but plain latent sampling
+        clusters where the flow's conditional density is highest. This draws
+        ``n * oversample`` candidates and keeps the ``n`` that maximize the
+        minimum pairwise joint-space distance — greedy farthest-point
+        selection, run entirely on device as a fixed-shape ``fori_loop`` over
+        the candidate distance matrix. The selected set's spread
+        (``evaluation.solution_diversity``) is measurably higher than the raw
+        draw's at identical per-solution accuracy (the candidates themselves
+        are unchanged — this only chooses among them).
+
+        y: a single (7,) pose. Returns (n, ndof) clamped solutions.
+        """
+        if not allow_uninitialized:
+            assert self._weights_loaded, "Model weights have not been loaded."
+        assert n >= 1 and oversample >= 1
+        y = jnp.asarray(y).reshape(7)
+        m = n * oversample
+        candidates = self.generate_ik_solutions(
+            y, n=m, latent_scale=latent_scale, key=key,
+            allow_uninitialized=allow_uninitialized,
+        )
+
+        cache_key = ("diverse", m, n)
+        fn = self._jit_cache.get(cache_key)
+        if fn is None:
+
+            def impl(cands):
+                d = jnp.linalg.norm(cands[:, None, :] - cands[None, :, :], axis=-1)
+
+                def body(i, carry):
+                    chosen, min_d = carry
+                    nxt = jnp.argmax(min_d)
+                    chosen = chosen.at[i].set(nxt)
+                    # A selected candidate must never be re-picked: its
+                    # distance-to-set is forced to -inf.
+                    min_d = jnp.minimum(min_d, d[nxt]).at[nxt].set(-jnp.inf)
+                    return chosen, min_d
+
+                chosen0 = jnp.zeros((n,), jnp.int32)
+                min_d0 = d[0].at[0].set(-jnp.inf)  # seed with candidate 0
+                chosen, _ = jax.lax.fori_loop(1, n, body, (chosen0, min_d0))
+                return jnp.take(cands, chosen, axis=0)
+
+            fn = self._jit_cache[cache_key] = jax.jit(impl)
+        return fn(candidates)
+
+    # ------------------------------------------------------------------
     def generate_exact_ik_solutions(
         self,
         target_poses: jnp.ndarray,

@@ -227,3 +227,34 @@ def test_capacity_capped_tiers_preserve_and_extend_validity():
     pe = np.asarray(ev.pos_errors)[np.asarray(valid_small)]
     re_ = np.asarray(ev.rot_errors)[np.asarray(valid_small)]
     assert (pe <= 1e-3 + 1e-6).all() and (re_ <= 0.01 + 1e-6).all()
+
+
+def test_generate_diverse_ik_solutions_beats_raw_draw():
+    """Farthest-point selection must (a) return n in-limit solutions for the
+    pose, (b) have strictly higher minimum pairwise spread than the first n
+    raw candidates, and (c) never select the same candidate twice."""
+    from ikflow_tpu.evaluation import solution_diversity
+    from ikflow_tpu.flow import tiny_model_params
+
+    hp = tiny_model_params()
+    hp.dim_latent_space = 8
+    robot = get_robot("panda")
+    solver = IKFlowSolver(hp, robot, seed=0)
+    pose = robot.forward_kinematics(robot.sample_joint_angles(jax.random.PRNGKey(0), 1))[0]
+    key = jax.random.PRNGKey(3)
+    n = 8
+    diverse = solver.generate_diverse_ik_solutions(
+        pose, n=n, oversample=8, key=key, allow_uninitialized=True
+    )
+    raw = solver.generate_ik_solutions(pose, n=n, key=key, allow_uninitialized=True)
+    assert diverse.shape == (n, robot.ndof)
+    assert not bool(np.asarray(robot.joint_limits_exceeded(diverse)).any())
+    d = np.asarray(diverse)
+    pair_min = lambda a: min(
+        np.linalg.norm(a[i] - a[j]) for i in range(len(a)) for j in range(i + 1, len(a))
+    )
+    assert pair_min(d) > 1e-6, "duplicate candidates selected"
+    assert pair_min(d) >= pair_min(np.asarray(raw)), "selection did not improve spread"
+    assert float(solution_diversity(jnp.asarray(d), 1, n)[0]) >= float(
+        solution_diversity(jnp.asarray(raw), 1, n)[0]
+    )
