@@ -66,6 +66,23 @@ def main():
     )
     print(f"exact IK: {int(np.asarray(valids).sum())}/{valids.shape[0]} poses converged to 1 mm")
 
+    # -----------------------------------------------------------------
+    # Diversity-maximizing sampling (first-party, no reference counterpart):
+    # farthest-point subset of an oversampled candidate draw.
+    from ikflow_tpu.evaluation import solution_diversity
+
+    diverse = ik_solver.generate_diverse_ik_solutions(
+        target_pose, n=n, oversample=8, key=jax.random.PRNGKey(3),
+        allow_uninitialized=uninit,
+    )
+    plain = ik_solver.generate_ik_solutions(
+        target_pose, n=n, key=jax.random.PRNGKey(3), allow_uninitialized=uninit
+    )
+    raw_spread = float(solution_diversity(plain, 1, n)[0])
+    div_spread = float(solution_diversity(diverse, 1, n)[0])
+    print(f"diverse sampling: mean pairwise spread {div_spread:.3f} rad "
+          f"(plain draw of the same size: {raw_spread:.3f})")
+
 
 if __name__ == "__main__":
     main()
