@@ -37,10 +37,11 @@ def add_parser(sub):
                    help="probe/tail chunk size for --megabatch (the uncapped probe "
                         "pays ~14x per-pose work, so this stays small; the default "
                         "matches the committed MEGABATCH artifact)")
-    p.add_argument("--steady_chunk", type=int, default=16384,
-                   help="capped steady-state chunk size for --megabatch (several "
+    p.add_argument("--steady_chunk", type=int, default=32768,
+                   help="steady-state chunk size for --megabatch (several "
                         "mid-size chunks overlap device->host collection with "
-                        "compute; the default matches the committed artifact)")
+                        "compute; the default matches the committed MEGABATCH "
+                        "artifact and fleet.solve_exact_megabatch's default)")
     p.add_argument("--compare", action="store_true",
                    help="4-method comparison: flow-approx / native-LM / flow+LM exact / "
                         "native-LM seeded by flow (parity: scripts/benchmark_runtime.py)")
