@@ -193,6 +193,7 @@ def run(args: argparse.Namespace) -> int:
     params = flow.init(jax.random.PRNGKey(cfg.seed))
     start_step = 0
     opt_state = None
+    warm_start = None  # anneal provenance; survives --resume via config.json
     if args.resume:
         from ikflow_tpu.training.optimizers import make_optimizer
 
@@ -236,6 +237,10 @@ def run(args: argparse.Namespace) -> int:
                     f"(e.g. scripts_dev/convert_softflow_init.py for a "
                     f"softflow->sigmoid head change)."
                 )
+        warm_start = {
+            "from": os.path.basename(args.init_npz),
+            "prior_steps": int(deploy_header.get("global_step") or 0),
+        }
         print(f"warm-started from deploy artifact {args.init_npz} "
               f"(previously trained to step {deploy_header.get('global_step')}; "
               f"optimizer state fresh, step counter restarts at 0)")
@@ -265,10 +270,21 @@ def run(args: argparse.Namespace) -> int:
             while chunk := f.read(1 << 20):
                 h.update(chunk)
         ds_hash = h.hexdigest()
-    with open(os.path.join(run_dir, "config.json"), "w") as f:
+    # Carry warm-start provenance across watchdog relaunches: a --resume
+    # relaunch skips the --init_npz branch, so recover prior_steps from the
+    # config.json the first launch wrote.
+    config_path = os.path.join(run_dir, "config.json")
+    if warm_start is None and os.path.exists(config_path):
+        try:
+            with open(config_path) as f:
+                warm_start = _json.load(f).get("warm_start")
+        except (OSError, ValueError):
+            pass
+    with open(config_path, "w") as f:
         _json.dump(
             {"hyper_parameters": hp.to_dict(), "train_config": vars(args), "dataset_sha256": ds_hash,
-             "dataset_sizes": {"train": int(dataset.n_train), "test": int(dataset.samples_te.shape[0])}},
+             "dataset_sizes": {"train": int(dataset.n_train), "test": int(dataset.samples_te.shape[0])},
+             "warm_start": warm_start},
             f, indent=2, default=str,
         )
 
@@ -323,12 +339,19 @@ def run(args: argparse.Namespace) -> int:
         # metrics["step"] is the step actually reached (a --time_budget_s run
         # can stop well before n_steps).
         try:
+            ws = None
+            if warm_start and warm_start.get("prior_steps"):
+                ws = dict(warm_start)
+                ws["total_steps"] = (
+                    int(metrics.get("step", cfg.n_steps)) + int(ws["prior_steps"])
+                )
             path = export_deploy(
                 args.export, params, hp, robot.name,
                 global_step=int(metrics.get("step", cfg.n_steps)),
                 dtype=args.export_dtype,
                 quality=quality,
                 max_val_l2_mm=None if args.export_force else gate_mm,
+                warm_start=ws,
             )
             print(f"exported deploy artifact -> {path} "
                   f"(val l2 {quality['val_l2_error_mm']:.2f} mm)")

@@ -172,12 +172,19 @@ def export_deploy(
     dtype: Optional[str] = None,
     quality: Optional[Dict[str, float]] = None,
     max_val_l2_mm: Optional[float] = None,
+    warm_start: Optional[Dict] = None,
 ) -> str:
     """Write the deploy artifact: params + hparams + robot in one .npz.
 
     ``dtype`` (e.g. "float16") halves the artifact for distribution; weights
     are cast back to the model dtype at load time (``load_deploy``). The
     stored dtype is recorded in the header.
+
+    ``warm_start`` (e.g. ``{"from": "models/x.npz", "prior_steps": 200000,
+    "total_steps": 700000}``) records anneal provenance: ``global_step``
+    stays this *run's* step count (gate/step semantics unchanged) while the
+    header remains honest about cumulative training depth — a warm-started
+    artifact would otherwise under-report how much compute produced it.
 
     ``quality`` (e.g. ``{"val_l2_error_mm": 8.1}``) is embedded in the header
     so the artifact is self-describing. When ``max_val_l2_mm`` is given, the
@@ -210,6 +217,10 @@ def export_deploy(
             k: (v if isinstance(v, str) else float(v)) for k, v in quality.items()
         }
         header["quality_gate_mm"] = max_val_l2_mm
+    if warm_start is not None:
+        header["warm_start"] = {
+            k: (v if isinstance(v, str) else int(v)) for k, v in warm_start.items()
+        }
     flat = _flatten_params(params)
     if dtype is not None:
         flat = {k: v.astype(dtype) for k, v in flat.items()}

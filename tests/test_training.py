@@ -360,6 +360,33 @@ def test_export_deploy_quality_gate():
         assert fheader["quality"]["val_l2_error_mm"] == pytest.approx(427.6)
 
 
+def test_export_deploy_warm_start_provenance():
+    """A warm-started anneal's artifact must self-describe its cumulative
+    training depth: global_step stays the run's own step count (gate/resume
+    semantics unchanged) while header['warm_start'] carries prior/total."""
+    from ikflow_tpu.training.checkpoints import export_deploy, load_deploy
+
+    hp, robot, flow, params, q, poses = _setup()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.npz")
+        export_deploy(
+            path, params, hp, "panda", global_step=500_000,
+            warm_start={"from": "rizon4__full.npz", "prior_steps": 200_000,
+                        "total_steps": 700_000},
+        )
+        _, header = load_deploy(path, params)
+        assert header["global_step"] == 500_000
+        assert header["warm_start"] == {
+            "from": "rizon4__full.npz", "prior_steps": 200_000,
+            "total_steps": 700_000,
+        }
+        # Cold exports carry no warm_start key at all (absence == cold).
+        cold = os.path.join(d, "cold.npz")
+        export_deploy(cold, params, hp, "panda", global_step=100)
+        _, cheader = load_deploy(cold, params)
+        assert "warm_start" not in cheader
+
+
 def test_gradient_clip_by_global_norm():
     """gradient_clip_algorithm='norm' bounds the global step length: with a
     huge gradient the applied update's norm is exactly the clip threshold
