@@ -32,13 +32,18 @@ with open(src) as f:
 tr = [tr[s] for s in sorted(tr)]
 val = [val[s] for s in sorted(val)]
 
+# Optional third arg: a run-specific note. The default describes the original
+# flagship run this script was written for; other runs should pass their own.
+note = sys.argv[3] if len(sys.argv) > 3 else (
+    "flagship panda__full training (cumulative across rounds; the r3 "
+    "segment resumes at step 163500 and switches LR schedule at ~440k — "
+    "see DESIGN.md): tr/* sampled every 10k steps, full val/* + "
+    "val_clamped/* series (eval_every=20000, 128 poses x 100 sols)")
+
 with open(out, "w") as f:
     json.dump({
         "run": src,
-        "note": "flagship panda__full training (cumulative across rounds; the r3 "
-                "segment resumes at step 163500 and switches LR schedule at ~440k — "
-                "see DESIGN.md): tr/* sampled every 10k steps, full val/* + "
-                "val_clamped/* series (eval_every=20000, 128 poses x 100 sols)",
+        "note": note,
         "tr": tr,
         "val": val,
     }, f, indent=1)
