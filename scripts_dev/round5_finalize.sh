@@ -11,11 +11,19 @@ set -u
 cd /root/repo
 LOGS=/root/.cache/ikflow_tpu/training_logs
 
-# Refuse to run while a trainer still owns the chip.
-if ls /proc/*/cmdline 2>/dev/null | xargs -I{} sh -c 'tr "\0" " " < {} 2>/dev/null' \
-    | grep -q "ikflow_tpu.cli.main train"; then
-  echo "a trainer is still running — not contending for the chip"; exit 1
-fi
+# Refuse to run while a trainer still owns the chip. Match only real python
+# trainer processes (argv[0] is a python binary AND the module is the train
+# CLI) — a substring grep over every cmdline also matches unrelated shells
+# that merely *mention* the trainer (e.g. an orchestrator that launched this
+# script, or a monitoring one-liner), which dead-locked the first finalize.
+for p in /proc/[0-9]*/cmdline; do
+  c=$(tr "\0" " " < "$p" 2>/dev/null) || continue
+  case "$c" in
+    python*"ikflow_tpu.cli.main train"*|*/python*"ikflow_tpu.cli.main train"*)
+      echo "a trainer is still running ($(basename "$(dirname "$p")")) — not contending for the chip"
+      exit 1;;
+  esac
+done
 
 timeout 3600 python -m ikflow_tpu.cli.main evaluate --all \
     > "$LOGS/eval_all_r5.log" 2>&1
