@@ -74,19 +74,31 @@ def main() -> int:
     from ikflow_tpu.robots import get_robot
     from ikflow_tpu.solver import IKFlowSolver
 
+    # Which flagship: 'affine' (panda__full, rounds 1-4 headline model) or
+    # 'sigmoid' (panda__full_sigmoid, bounded-output 12-block). The measured
+    # A/B (SIGMOID_HEADLINE_AB_r05.json) has sigmoid +2.3% on this protocol
+    # (tier-1 908 vs 905 -> narrower retry capacities) on top of being the
+    # most accurate table row.
+    bench_model = os.environ.get("IKFLOW_TPU_BENCH_MODEL", "affine")
     hp = FlowHyperParams()
-    hp.dim_latent_space = 7  # flagship panda__full architecture
+    hp.dim_latent_space = 7  # flagship panda architecture
+    if bench_model == "sigmoid":
+        hp.sigmoid_on_output = True
+        hp.softflow_enabled = False
+        weights_file = "panda__full_sigmoid.npz"
+    else:
+        weights_file = "panda__full.npz"
     robot = get_robot("panda")
 
     weights_path = os.environ.get("IKFLOW_TPU_BENCH_WEIGHTS")
     if not weights_path:
         for d in MODEL_SEARCH_DIRS:
-            cand = os.path.join(d, "panda__full.npz")
+            cand = os.path.join(d, weights_file)
             if os.path.exists(cand):
                 weights_path = cand
                 break
         else:
-            weights_path = os.path.join(MODEL_SEARCH_DIRS[0], "panda__full.npz")
+            weights_path = os.path.join(MODEL_SEARCH_DIRS[0], weights_file)
     use_pallas = os.environ.get("IKFLOW_TPU_BENCH_PALLAS", "0") == "1"
     # bf16 hidden matmuls on the MXU for the flow-inverse seed pass. Exact-IK
     # validity is insensitive to seed precision (the LM refinement runs f32 and
@@ -305,6 +317,7 @@ def main() -> int:
         ),
         "compile_s": round(compile_s, 1),
         "weights": "trained" if weights_loaded else "random(untrained)",
+        "model": bench_model,
         "retry_capacities": list(capacities) if capacities else "full",
         "backend": ("pallas" if use_pallas else "xla") + ("+bf16" if hp.bf16_hidden else ""),
         "device": str(jax.devices()[0]),
