@@ -74,12 +74,13 @@ def main() -> int:
     from ikflow_tpu.robots import get_robot
     from ikflow_tpu.solver import IKFlowSolver
 
-    # Which flagship: 'affine' (panda__full, rounds 1-4 headline model) or
-    # 'sigmoid' (panda__full_sigmoid, bounded-output 12-block). The measured
-    # A/B (SIGMOID_HEADLINE_AB_r05.json) has sigmoid +2.3% on this protocol
-    # (tier-1 908 vs 905 -> narrower retry capacities) on top of being the
-    # most accurate table row.
-    bench_model = os.environ.get("IKFLOW_TPU_BENCH_MODEL", "affine")
+    # Which flagship: 'sigmoid' (panda__full_sigmoid, bounded-output
+    # 12-block — the serving default and most accurate table row) or
+    # 'affine' (panda__full, the rounds-1-4 headline model, kept for
+    # round-over-round comparability). Default sigmoid per the measured A/B
+    # (SIGMOID_HEADLINE_AB_r05.json: +2.3%, tier-1 908 vs 905 -> narrower
+    # retry capacities; full-bench validation 276.4k vs 274.1k sols/s).
+    bench_model = os.environ.get("IKFLOW_TPU_BENCH_MODEL", "sigmoid")
     hp = FlowHyperParams()
     hp.dim_latent_space = 7  # flagship panda architecture
     if bench_model == "sigmoid":
